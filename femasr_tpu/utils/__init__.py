@@ -1,0 +1,24 @@
+from .img_util import (array2img, crop_border, imfrombytes, img2array,
+                       img2tensor, imwrite, make_grid, tensor2img)
+from .logger import (AvgTimer, MessageLogger, get_env_info, get_root_logger,
+                     init_tb_logger, init_wandb_logger)
+from .misc import (check_resume, get_time_str, is_image_file, make_exp_dirs,
+                   mkdir_and_rename, new_rng, scandir, set_random_seed,
+                   sizeof_fmt)
+from .options import (apply_force_yml, copy_opt_file, dict2str, ordered_yaml,
+                      parse_options, yaml_load)
+from .registry import (ARCH_REGISTRY, DATASET_REGISTRY, LOSS_REGISTRY,
+                       METRIC_REGISTRY, MODEL_REGISTRY, Registry)
+
+__all__ = [
+    'array2img', 'crop_border', 'imfrombytes', 'img2array', 'img2tensor',
+    'imwrite', 'make_grid', 'tensor2img',
+    'AvgTimer', 'MessageLogger', 'get_env_info', 'get_root_logger',
+    'init_tb_logger', 'init_wandb_logger',
+    'check_resume', 'get_time_str', 'is_image_file', 'make_exp_dirs',
+    'mkdir_and_rename', 'new_rng', 'scandir', 'set_random_seed', 'sizeof_fmt',
+    'apply_force_yml', 'copy_opt_file', 'dict2str', 'ordered_yaml',
+    'parse_options', 'yaml_load',
+    'ARCH_REGISTRY', 'DATASET_REGISTRY', 'LOSS_REGISTRY', 'METRIC_REGISTRY',
+    'MODEL_REGISTRY', 'Registry',
+]

@@ -1,0 +1,25 @@
+"""Model architectures (ARCH_REGISTRY) and the YAML-driven factory.
+
+Parity: /root/reference/basicsr/archs/__init__.py:19-25 (build_network).
+"""
+
+from copy import deepcopy
+
+from ..utils.registry import ARCH_REGISTRY
+from .discriminator_arch import SpectralConv, UNetDiscriminatorSN
+from .femasr_arch import (CHANNEL_QUERY_DICT, DecoderBlock, EncoderDownBlock,
+                          EncoderUpBlock, FeMaSRNet, MultiScaleEncoder)
+
+__all__ = ['build_network', 'FeMaSRNet', 'UNetDiscriminatorSN',
+           'SpectralConv', 'MultiScaleEncoder', 'DecoderBlock',
+           'EncoderDownBlock', 'EncoderUpBlock', 'CHANNEL_QUERY_DICT']
+
+
+def build_network(opt):
+    """Instantiate a network module from a YAML `network_*` dict."""
+    opt = deepcopy(dict(opt))
+    network_type = opt.pop('type')
+    # keys consumed by the trainer, not the module
+    opt.pop('frozen_module_keywords', None)
+    net = ARCH_REGISTRY.get(network_type)(**opt)
+    return net

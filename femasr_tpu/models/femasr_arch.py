@@ -1,0 +1,316 @@
+"""FeMaSRNet: VQGAN encoder/decoder with multi-scale codebook quantization.
+
+Capability parity with /root/reference/basicsr/archs/femasr_arch.py
+(FeMaSRNet:214-479, MultiScaleEncoder:135-192, DecoderBlock:195-211,
+SwinLayers:114-132), re-designed TPU-first:
+
+- NHWC layout end-to-end; nearest upsampling by broadcast; static shapes
+  under jit (arbitrary-size inference handled by the batched-tile path in
+  models/inference.py instead of per-image dynamic padding).
+- The VGG semantic branch takes the frozen-VGG feature map as an *input*
+  (computed once by the trainer) instead of embedding the frozen VGG inside
+  the generator like the reference (femasr_arch.py:303-309) — this keeps the
+  generator pytree clean for sharding/optimizer masking.
+- Quirk preserved for checkpoint parity: `in_conv` is kernel 4, stride 1,
+  padding 1, which shrinks H and W by 1 (femasr_arch.py:150).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.layers import (CombineQuantBlock, ResBlock, conv2d,
+                          upsample_nearest)
+from ..ops.quantize import VectorQuantizer
+from ..ops.swin import SwinLayers
+from ..utils.registry import ARCH_REGISTRY
+
+Dtype = Any
+
+# resolution -> channel width (femasr_arch.py:244-252)
+CHANNEL_QUERY_DICT = {8: 256, 16: 256, 32: 256, 64: 256, 128: 128, 256: 64,
+                      512: 32}
+
+
+class EncoderDownBlock(nn.Module):
+    """[Conv s2, ResBlock, ResBlock] (femasr_arch.py:158-162)."""
+    out_ch: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv2d(self.out_ch, 3, 2, 1, dtype=self.dtype, name='conv')(x)
+        x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
+                     self.dtype, name='res1')(x, train)
+        x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
+                     self.dtype, name='res2')(x, train)
+        return x
+
+
+class EncoderUpBlock(nn.Module):
+    """[Upsample x2 nearest, Conv3, ResBlock, ResBlock] (femasr_arch.py:171-177)."""
+    out_ch: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = upsample_nearest(x, 2)
+        x = conv2d(self.out_ch, 3, 1, 1, dtype=self.dtype, name='conv')(x)
+        x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
+                     self.dtype, name='res1')(x, train)
+        x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
+                     self.dtype, name='res2')(x, train)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Upsample(x2 nearest) -> Conv3 -> ResBlock x2 (femasr_arch.py:195-211)."""
+    out_ch: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = upsample_nearest(x, 2)
+        x = conv2d(self.out_ch, 3, 1, 1, dtype=self.dtype, name='conv')(x)
+        x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
+                     self.dtype, name='res1')(x, train)
+        x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
+                     self.dtype, name='res2')(x, train)
+        return x
+
+
+class MultiScaleEncoder(nn.Module):
+    """in_conv + stride-2 down blocks (+ SwinLayers + 2 up blocks in LQ stage).
+
+    Returns the list of all intermediate block outputs
+    (femasr_arch.py:184-192).
+    """
+    in_channel: int
+    max_depth: int
+    input_res: int = 256
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    lq_stage: bool = True
+    swin_mlp_ratio: float = 4.0
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jax.Array]:
+        x = conv2d(CHANNEL_QUERY_DICT[self.input_res], 4, 1, 1,
+                   dtype=self.dtype, name='in_conv')(x)
+
+        outputs: List[jax.Array] = []
+        res = self.input_res
+        idx = 0
+        for _ in range(self.max_depth):
+            out_ch = CHANNEL_QUERY_DICT[res // 2]
+            x = EncoderDownBlock(out_ch, self.norm_type, self.act_type,
+                                 self.dtype, name=f'blocks_{idx}')(x, train)
+            outputs.append(x)
+            res //= 2
+            idx += 1
+
+        if self.lq_stage:
+            x = SwinLayers(mlp_ratio=self.swin_mlp_ratio, dtype=self.dtype,
+                           name=f'blocks_{idx}')(x)
+            outputs.append(x)
+            idx += 1
+            for _ in range(2):
+                out_ch = CHANNEL_QUERY_DICT[res * 2]
+                x = EncoderUpBlock(out_ch, self.norm_type, self.act_type,
+                                   self.dtype, name=f'blocks_{idx}')(x, train)
+                outputs.append(x)
+                res *= 2
+                idx += 1
+
+        return outputs
+
+
+@ARCH_REGISTRY.register()
+class FeMaSRNet(nn.Module):
+    """Top-level FeMaSR generator (femasr_arch.py:214-479).
+
+    codebook_params: [[scale, n_e, e_dim], ...] ordered low->high resolution;
+    release config [[32, 1024, 512]].
+    """
+    codebook_params: Sequence[Sequence[int]]
+    in_channel: int = 3
+    gt_resolution: int = 256
+    LQ_stage: bool = False
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    use_quantize: bool = True
+    scale_factor: int = 4
+    use_semantic_loss: bool = False
+    use_residual: bool = True
+    vq_backend: str = 'xla'
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def codebook_scale(self) -> List[int]:
+        return [int(p[0]) for p in self.codebook_params]
+
+    @property
+    def effective_scale_factor(self) -> int:
+        return self.scale_factor if self.LQ_stage else 1
+
+    @property
+    def max_depth(self) -> int:
+        return int(math.log2(self.gt_resolution // self.codebook_scale[0]))
+
+    @property
+    def encode_depth(self) -> int:
+        return int(math.log2(self.gt_resolution // self.effective_scale_factor
+                             // self.codebook_scale[0]))
+
+    def setup(self):
+        params = [list(map(int, p)) for p in self.codebook_params]
+        scales = [p[0] for p in params]
+        emb_nums = [p[1] for p in params]
+        emb_dims = [p[2] for p in params]
+
+        self.multiscale_encoder = MultiScaleEncoder(
+            in_channel=self.in_channel,
+            max_depth=self.encode_depth,
+            input_res=self.gt_resolution // self.effective_scale_factor,
+            norm_type=self.norm_type, act_type=self.act_type,
+            lq_stage=self.LQ_stage, use_checkpoint=self.use_checkpoint,
+            dtype=self.dtype)
+
+        decoders = []
+        out_ch = None
+        for i in range(self.max_depth):
+            res = self.gt_resolution // 2 ** self.max_depth * 2 ** i
+            out_ch = CHANNEL_QUERY_DICT[res * 2]
+            decoders.append(DecoderBlock(out_ch, self.norm_type, self.act_type,
+                                         self.dtype, name=f'decoder_group_{i}'))
+        self.decoder_group = decoders
+        self.out_conv = conv2d(3, 3, 1, 1, dtype=self.dtype, name='out_conv')
+
+        quantizers, before_quant, after_quant = [], [], []
+        for scale in range(len(params)):
+            quantizers.append(VectorQuantizer(
+                n_e=emb_nums[scale], e_dim=emb_dims[scale],
+                lq_stage=self.LQ_stage, backend=self.vq_backend,
+                dtype=self.dtype, name=f'quantize_group_{scale}'))
+            scale_in_ch = CHANNEL_QUERY_DICT[scales[scale]]
+            if scale == 0:
+                comb_ch1, comb_ch2 = emb_dims[scale], 0
+            else:
+                comb_ch1, comb_ch2 = emb_dims[scale - 1], emb_dims[scale]
+            before_quant.append(conv2d(emb_dims[scale], 1, 1, 0,
+                                       dtype=self.dtype,
+                                       name=f'before_quant_group_{scale}'))
+            after_quant.append(CombineQuantBlock(
+                comb_ch1, comb_ch2, scale_in_ch, dtype=self.dtype,
+                name=f'after_quant_group_{scale}'))
+        self.quantize_group = quantizers
+        self.before_quant_group = before_quant
+        self.after_quant_group = after_quant
+
+        if self.use_semantic_loss:
+            self.conv_semantic = conv2d(512, 1, 1, 0, dtype=self.dtype,
+                                        name='conv_semantic')
+
+    def encode_and_decode(self, x: jax.Array,
+                          gt_indices: Optional[Sequence[jax.Array]] = None,
+                          vgg_feat: Optional[jax.Array] = None,
+                          train: bool = False):
+        """Core forward (femasr_arch.py:311-374).
+
+        Args:
+            x: (B, H, W, 3) input in [0, 1].
+            gt_indices: per-codebook-scale GT index maps (LQ-stage training).
+            vgg_feat: frozen VGG relu4_4 features of the input (only used when
+                use_semantic_loss; supplied by the trainer).
+        Returns:
+            (out_img, codebook_loss, semantic_loss, indices_list)
+        """
+        enc_feats = self.multiscale_encoder(jax.lax.stop_gradient(x), train)
+        if self.LQ_stage:
+            enc_feats = enc_feats[-3:]
+        else:
+            enc_feats = enc_feats[::-1]
+
+        codebook_loss_list = []
+        semantic_loss_list = []
+        indices_list = []
+
+        quant_idx = 0
+        prev_dec_feat = None
+        prev_quant_feat = None
+        out = enc_feats[0]
+        for i in range(self.max_depth):
+            cur_res = self.gt_resolution // 2 ** self.max_depth * 2 ** i
+            if cur_res in self.codebook_scale:
+                if prev_dec_feat is not None:
+                    before_quant_feat = jnp.concatenate(
+                        [enc_feats[i], prev_dec_feat], axis=-1)
+                else:
+                    before_quant_feat = enc_feats[i]
+                feat_to_quant = self.before_quant_group[quant_idx](before_quant_feat)
+
+                gt_idx = gt_indices[quant_idx] if gt_indices is not None else None
+                z_quant, codebook_loss, indices = self.quantize_group[quant_idx](
+                    feat_to_quant, gt_idx)
+
+                if self.use_semantic_loss and vgg_feat is not None:
+                    semantic_z_quant = nn.relu(self.conv_semantic(z_quant))
+                    semantic_loss = jnp.mean(jnp.square(
+                        semantic_z_quant.astype(jnp.float32)
+                        - vgg_feat.astype(jnp.float32)))
+                    semantic_loss_list.append(semantic_loss)
+
+                if not self.use_quantize:
+                    z_quant = feat_to_quant
+
+                after_quant_feat = self.after_quant_group[quant_idx](
+                    z_quant, prev_quant_feat)
+
+                codebook_loss_list.append(codebook_loss)
+                indices_list.append(indices)
+
+                quant_idx += 1
+                prev_quant_feat = z_quant
+                out = after_quant_feat
+            else:
+                if self.LQ_stage and self.use_residual:
+                    out = out + enc_feats[i]
+
+            out = self.decoder_group[i](out, train)
+            prev_dec_feat = out
+
+        out_img = self.out_conv(out)
+
+        codebook_loss = sum(codebook_loss_list)
+        semantic_loss = (sum(semantic_loss_list) if semantic_loss_list
+                         else jnp.zeros((), jnp.float32))
+        return out_img, codebook_loss, semantic_loss, indices_list
+
+    def decode_indices(self, indices: jax.Array) -> jax.Array:
+        """Decode a raw code-index map to an image (femasr_arch.py:376-385)."""
+        z_quant = self.quantize_group[0].get_codebook_entry(indices)
+        x = self.after_quant_group[0](z_quant)
+        for dec in self.decoder_group:
+            x = dec(x)
+        return self.out_conv(x)
+
+    def __call__(self, x: jax.Array,
+                 gt_indices: Optional[Sequence[jax.Array]] = None,
+                 vgg_feat: Optional[jax.Array] = None,
+                 train: bool = False):
+        return self.encode_and_decode(x, gt_indices=gt_indices,
+                                      vgg_feat=vgg_feat, train=train)

@@ -1,0 +1,307 @@
+"""Swin-transformer ops: window attention, (S)W-MSA blocks, RSTB, SwinLayers.
+
+Capability parity with the reference's vendored SwinIR components
+(/root/reference/basicsr/archs/network_swinir.py: window_partition:33,
+WindowAttention:65, SwinTransformerBlock:164, BasicLayer:349, RSTB:419,
+SwinLayers in femasr_arch.py:114-132).
+
+TPU-first design:
+- NHWC feature maps end-to-end; window partition is reshape+transpose (free
+  on TPU — XLA folds it into the surrounding ops), never gather.
+- Shapes are static under jit, so the shifted-window attention mask and the
+  relative-position index are computed in **numpy at trace time** and baked
+  into the program as constants (the reference recomputes torch masks on
+  device per input size).
+- Attention logits/softmax accumulate in float32; matmuls hit the MXU in the
+  configured compute dtype (bfloat16 for production).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# static (trace-time) helpers
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Pairwise relative-position index inside a (wh, ww) window.
+
+    Parity: network_swinir.py:92-103. Returns (wh*ww, wh*ww) int32.
+    """
+    coords_h = np.arange(wh)
+    coords_w = np.arange(ww)
+    coords = np.stack(np.meshgrid(coords_h, coords_w, indexing='ij'))  # 2, wh, ww
+    coords_flatten = coords.reshape(2, -1)
+    rel = coords_flatten[:, :, None] - coords_flatten[:, None, :]  # 2, N, N
+    rel = rel.transpose(1, 2, 0).copy()
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(h: int, w: int, window_size: int,
+                        shift_size: int) -> np.ndarray:
+    """0/-100 additive attention mask for SW-MSA, computed statically.
+
+    Parity: network_swinir.py:216-237. Returns (nW, N, N) float32.
+    """
+    img_mask = np.zeros((h, w), dtype=np.int32)
+    h_slices = (slice(0, -window_size), slice(-window_size, -shift_size),
+                slice(-shift_size, None))
+    w_slices = (slice(0, -window_size), slice(-window_size, -shift_size),
+                slice(-shift_size, None))
+    cnt = 0
+    for hs in h_slices:
+        for ws in w_slices:
+            img_mask[hs, ws] = cnt
+            cnt += 1
+    mask = img_mask.reshape(h // window_size, window_size,
+                            w // window_size, window_size)
+    mask = mask.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
+    attn_mask = mask[:, None, :] - mask[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jax.Array, window_size: int) -> jax.Array:
+    """(B, H, W, C) -> (B*nW, ws*ws, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window_size, window_size, w // window_size,
+                  window_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window_size * window_size, c)
+
+
+def window_reverse(windows: jax.Array, window_size: int, h: int,
+                   w: int) -> jax.Array:
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // (h * w // window_size // window_size)
+    x = windows.reshape(b, h // window_size, w // window_size, window_size,
+                        window_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# modules
+# ---------------------------------------------------------------------------
+
+def dense(features: int, use_bias: bool = True, dtype: Dtype = jnp.float32,
+          name: Optional[str] = None) -> nn.Dense:
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    param_dtype=jnp.float32, name=name)
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU(exact) -> fc2 (network_swinir.py:14-30; dropout rate 0)."""
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = dense(self.hidden_features, dtype=self.dtype, name='fc1')(x)
+        x = nn.gelu(x, approximate=False)
+        x = dense(self.out_features, dtype=self.dtype, name='fc2')(x)
+        return x
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with learned relative position bias (network_swinir.py:65-145)."""
+    dim: int
+    window_size: Tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 mask: Optional[np.ndarray] = None) -> jax.Array:
+        """x: (B_, N, C) windows; mask: static (nW, N, N) or None."""
+        b_, n, c = x.shape
+        nh = self.num_heads
+        head_dim = c // nh
+        scale = self.qk_scale or head_dim ** -0.5
+
+        table = self.param(
+            'relative_position_bias_table',
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1), nh),
+            jnp.float32)
+
+        qkv = dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name='qkv')(x)
+        qkv = qkv.reshape(b_, n, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
+
+        attn = jnp.einsum('bhnd,bhmd->bhnm', q * scale, k,
+                          preferred_element_type=jnp.float32)
+
+        rpi = relative_position_index(*self.window_size).reshape(-1)
+        bias = table[rpi].reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            mask_c = jnp.asarray(mask, dtype=jnp.float32)
+            attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask_c[None, :, None]
+            attn = attn.reshape(b_, nh, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return dense(c, dtype=self.dtype, name='proj')(out)
+
+
+class SwinTransformerBlock(nn.Module):
+    """LN -> (S)W-MSA -> residual -> LN -> MLP -> residual.
+
+    Parity: network_swinir.py:164-279. `input_resolution` is the *nominal*
+    resolution used only for the window-size clamp (the actual (H, W) comes
+    in at call time and is static under jit).
+    """
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: (B, H, W, C)."""
+        b, h, w, c = x.shape
+
+        window_size = self.window_size
+        shift_size = self.shift_size
+        if min(self.input_resolution) <= window_size:
+            shift_size = 0
+            window_size = min(self.input_resolution)
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name='norm1')(x)
+
+        if shift_size > 0:
+            x = jnp.roll(x, (-shift_size, -shift_size), axis=(1, 2))
+
+        x_windows = window_partition(x, window_size)
+        mask = (shifted_window_mask(h, w, window_size, shift_size)
+                if shift_size > 0 else None)
+        attn_windows = WindowAttention(
+            dim=self.dim, window_size=(window_size, window_size),
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, dtype=self.dtype, name='attn')(
+                x_windows, mask=mask)
+        x = window_reverse(attn_windows, window_size, h, w)
+
+        if shift_size > 0:
+            x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
+
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name='norm2')(x)
+        y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
+                out_features=self.dim, dtype=self.dtype, name='mlp')(y)
+        return x + y
+
+
+class BasicLayer(nn.Module):
+    """depth x SwinTransformerBlock with alternating shift 0 / ws//2.
+
+    Parity: network_swinir.py:349-405.
+    """
+    dim: int
+    input_resolution: Tuple[int, int]
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # use_checkpoint -> jax.checkpoint (rematerialization): trade FLOPs
+        # for HBM, the TPU analogue of torch.utils.checkpoint.
+        block_cls = (nn.remat(SwinTransformerBlock) if self.use_checkpoint
+                     else SwinTransformerBlock)
+        for i in range(self.depth):
+            x = block_cls(
+                dim=self.dim, input_resolution=self.input_resolution,
+                num_heads=self.num_heads, window_size=self.window_size,
+                shift_size=0 if (i % 2 == 0) else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, dtype=self.dtype, name=f'blocks_{i}')(x)
+        return x
+
+
+class RSTB(nn.Module):
+    """Residual Swin Transformer Block: BasicLayer -> conv3x3 -> +residual.
+
+    Parity: network_swinir.py:419-482 (resi_connection='1conv').
+    Operates on NHWC maps directly (the reference round-trips through token
+    sequences via PatchEmbed/PatchUnEmbed; on TPU that is a no-op reshape).
+    """
+    dim: int
+    input_resolution: Tuple[int, int]
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = BasicLayer(dim=self.dim, input_resolution=self.input_resolution,
+                       depth=self.depth, num_heads=self.num_heads,
+                       window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                       qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                       use_checkpoint=self.use_checkpoint, dtype=self.dtype,
+                       name='residual_group')(x)
+        y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, param_dtype=jnp.float32, name='conv')(y)
+        return y + x
+
+
+class SwinLayers(nn.Module):
+    """4x RSTB at the deepest LQ-encoder resolution (femasr_arch.py:114-132)."""
+    input_resolution: Tuple[int, int] = (32, 32)
+    embed_dim: int = 256
+    blk_depth: int = 6
+    num_heads: int = 8
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(4):
+            x = RSTB(dim=self.embed_dim,
+                     input_resolution=tuple(self.input_resolution),
+                     depth=self.blk_depth, num_heads=self.num_heads,
+                     window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                     dtype=self.dtype, name=f'swin_blks_{i}')(x)
+        return x

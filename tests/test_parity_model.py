@@ -1,0 +1,148 @@
+"""Whole-network golden parity: FeMaSRNet (HQ & LQ) and UNetDiscriminatorSN
+vs the reference torch implementation with converted random weights."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from femasr_tpu.models import FeMaSRNet, UNetDiscriminatorSN
+from femasr_tpu.models.convert import (convert_discriminator_checkpoint,
+                                       convert_femasr_checkpoint,
+                                       merge_params, state_dict_to_numpy)
+from reference_shim import load_reference_module
+
+torch.manual_seed(0)
+
+CODEBOOK = [[32, 1024, 512]]
+
+
+def to_nhwc(t):
+    return np.ascontiguousarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def _build_pair(lq_stage, scale_factor=4):
+    femasr_arch = load_reference_module('basicsr.archs.femasr_arch')
+    tnet = femasr_arch.FeMaSRNet(
+        codebook_params=CODEBOOK, LQ_stage=lq_stage, scale_factor=scale_factor,
+        norm_type='gn', act_type='silu', use_semantic_loss=False).eval()
+    sd = state_dict_to_numpy(tnet.state_dict())
+    loaded = convert_femasr_checkpoint(
+        sd, codebook_params=CODEBOOK, LQ_stage=lq_stage,
+        scale_factor=scale_factor, act_type='silu')
+
+    jnet = FeMaSRNet(codebook_params=CODEBOOK, LQ_stage=lq_stage,
+                     scale_factor=scale_factor, norm_type='gn',
+                     act_type='silu')
+    return tnet, jnet, loaded
+
+
+@pytest.mark.parametrize('lq_stage,in_hw', [(False, 64), (True, 32)])
+def test_femasr_forward_parity(lq_stage, in_hw):
+    tnet, jnet, loaded = _build_pair(lq_stage)
+    x = torch.rand(1, 3, in_hw, in_hw)
+
+    with torch.no_grad():
+        out_ref, cb_ref, _, idx_ref = tnet(x)
+
+    xj = jnp.asarray(to_nhwc(x))
+    init = jnet.init(jax.random.PRNGKey(0), xj)
+    params = merge_params(init['params'], loaded)
+    out, cb_loss, _, idx = jnet.apply({'params': params}, xj)
+
+    # identical code selection
+    np.testing.assert_array_equal(
+        np.asarray(idx[0]).reshape(-1), idx_ref[0].numpy().reshape(-1))
+    np.testing.assert_allclose(float(cb_loss), float(cb_ref), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(out_ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_femasr_lq_gt_indices_parity():
+    """LQ-stage training path: GT-index supervision & gram/texture loss."""
+    tnet, jnet, loaded = _build_pair(True)
+    x = torch.rand(1, 3, 32, 32)
+    gt_idx_t = torch.randint(0, 1024, (1, 1, 16, 16))
+
+    with torch.no_grad():
+        out_ref, cb_ref, _, _ = tnet(x, gt_indices=[gt_idx_t])
+
+    xj = jnp.asarray(to_nhwc(x))
+    init = jnet.init(jax.random.PRNGKey(0), xj)
+    params = merge_params(init['params'], loaded)
+    out, cb_loss, _, _ = jnet.apply(
+        {'params': params}, xj,
+        gt_indices=[jnp.asarray(gt_idx_t.numpy().reshape(1, 16, 16))])
+
+    np.testing.assert_allclose(float(cb_loss), float(cb_ref), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(out_ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_decode_indices_parity():
+    tnet, jnet, loaded = _build_pair(False)
+    idx_t = torch.arange(16).reshape(16, 1, 1, 1).repeat(1, 1, 2, 2)
+
+    with torch.no_grad():
+        out_ref = tnet.decode_indices(idx_t)
+
+    init = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params = merge_params(init['params'], loaded)
+    out = jnet.apply({'params': params},
+                     jnp.asarray(idx_t.numpy()), method='decode_indices')
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(out_ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_discriminator_parity():
+    disc_arch = load_reference_module('basicsr.archs.discriminator_arch')
+    tdisc = disc_arch.UNetDiscriminatorSN(num_in_ch=3).eval()
+    sd = state_dict_to_numpy(tdisc.state_dict())
+    params, spectral = convert_discriminator_checkpoint(sd)
+
+    x = torch.rand(2, 3, 32, 32)
+    with torch.no_grad():
+        ref = to_nhwc(tdisc(x))
+
+    jdisc = UNetDiscriminatorSN(num_in_ch=3)
+    init = jdisc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    params = merge_params(init['params'], params)
+    spectral = merge_params(init['spectral'], spectral)
+    out = jdisc.apply({'params': params, 'spectral': spectral},
+                      jnp.asarray(to_nhwc(x)))
+    # A fresh (unconverged) spectral norm barely normalizes, so activations
+    # blow up through 9 layers and amplify f32 noise — compare relatively.
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(out) / scale, ref / scale, atol=2e-3)
+
+
+def test_discriminator_power_iteration_matches_torch_train_step():
+    """One training forward must update u/v exactly like torch."""
+    disc_arch = load_reference_module('basicsr.archs.discriminator_arch')
+    tdisc = disc_arch.UNetDiscriminatorSN(num_in_ch=3).train()
+    sd0 = state_dict_to_numpy(tdisc.state_dict())
+    params, spectral = convert_discriminator_checkpoint(sd0)
+
+    x = torch.rand(1, 3, 16, 16)
+    with torch.no_grad():
+        ref = to_nhwc(tdisc(x))  # train mode: runs power iteration
+    sd1 = state_dict_to_numpy(tdisc.state_dict())
+
+    jdisc = UNetDiscriminatorSN(num_in_ch=3)
+    init = jdisc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    params = merge_params(init['params'], params)
+    spectral = merge_params(init['spectral'], spectral)
+    out, mutated = jdisc.apply({'params': params, 'spectral': spectral},
+                               jnp.asarray(to_nhwc(x)), update_stats=True,
+                               mutable=['spectral'])
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(out) / scale, ref / scale, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(mutated['spectral']['conv1']['u']),
+        sd1['conv1.weight_u'], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mutated['spectral']['conv3']['v']),
+        sd1['conv3.weight_v'], atol=1e-5)

@@ -1,0 +1,161 @@
+"""Golden parity tests of individual ops vs the reference torch implementation.
+
+The reference is executed on CPU via tests/reference_shim.py; weights are
+converted with femasr_tpu.models.convert and outputs compared numerically.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from femasr_tpu.models.convert import (_conv_w, _resblock_entries,
+                                       convert_with_mapping,
+                                       state_dict_to_numpy)
+from femasr_tpu.ops import (GroupNorm, ResBlock, RSTB, VectorQuantizer,
+                            CombineQuantBlock, vector_quantize)
+from reference_shim import load_reference_module
+
+torch.manual_seed(0)
+
+
+def to_nhwc(t):
+    return np.ascontiguousarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def to_nchw(a):
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(a).transpose(0, 3, 1, 2)))
+
+
+def test_groupnorm_parity():
+    tgn = torch.nn.GroupNorm(8, 32, eps=1e-6, affine=True)
+    with torch.no_grad():
+        tgn.weight.copy_(torch.randn(32))
+        tgn.bias.copy_(torch.randn(32))
+    x = torch.randn(2, 32, 6, 5)
+    ref = to_nhwc(tgn(x))
+
+    gn = GroupNorm(num_groups=8, eps=1e-6)
+    params = {'params': {'scale': jnp.asarray(tgn.weight.detach().numpy()),
+                         'bias': jnp.asarray(tgn.bias.detach().numpy())}}
+    out = gn.apply(params, jnp.asarray(to_nhwc(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize('act_type', ['silu', 'leakyrelu', 'prelu', 'gelu'])
+def test_resblock_parity(act_type):
+    fema_utils = load_reference_module('basicsr.archs.fema_utils')
+    tblk = fema_utils.ResBlock(32, 32, norm_type='gn', act_type=act_type).eval()
+    sd = state_dict_to_numpy(tblk.state_dict())
+    # reference keys have no prefix: strip the synthetic '.conv' root
+    sd = {f'blk.{k}': v for k, v in sd.items()}
+    mapping = _resblock_entries(('blk',), 'blk', act_type)
+    params = convert_with_mapping(sd, mapping)['blk']
+
+    x = torch.randn(2, 32, 8, 8)
+    ref = to_nhwc(tblk(x))
+    blk = ResBlock(32, 32, norm_type='gn', act_type=act_type)
+    out = blk.apply({'params': params}, jnp.asarray(to_nhwc(x)))
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_combine_quant_block_parity():
+    fema_utils = load_reference_module('basicsr.archs.fema_utils')
+    tblk = fema_utils.CombineQuantBlock(8, 6, 16).eval()
+    sd = state_dict_to_numpy(tblk.state_dict())
+    params = {'conv': {'kernel': _conv_w(sd['conv.weight']),
+                       'bias': sd['conv.bias']}}
+
+    x1 = torch.randn(2, 8, 16, 16)
+    x2 = torch.randn(2, 6, 7, 7)  # gets nearest-resized to 16x16
+    ref = to_nhwc(tblk(x1, x2))
+    blk = CombineQuantBlock(8, 6, 16)
+    out = blk.apply({'params': params}, jnp.asarray(to_nhwc(x1)),
+                    jnp.asarray(to_nhwc(x2)))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # single-input path
+    ref1 = to_nhwc(tblk(torch.cat([x1, torch.zeros(2, 6, 16, 16)], 1)))
+    blk2 = CombineQuantBlock(14, 0, 16)
+    out1 = blk2.apply({'params': params},
+                      jnp.concatenate([jnp.asarray(to_nhwc(x1)),
+                                       jnp.zeros((2, 16, 16, 6))], -1))
+    np.testing.assert_allclose(out1, ref1, atol=2e-5)
+
+
+@pytest.mark.parametrize('lq_stage', [False, True])
+def test_vector_quantizer_parity(lq_stage):
+    femasr_arch = load_reference_module('basicsr.archs.femasr_arch')
+    n_e, e_dim = 64, 16
+    tvq = femasr_arch.VectorQuantizer(n_e, e_dim, LQ_stage=lq_stage).eval()
+    codebook = tvq.embedding.weight.detach().numpy()
+
+    z = torch.randn(2, e_dim, 4, 4, requires_grad=True)
+    gt_indices = None
+    tgt = None
+    if lq_stage:
+        tgt = torch.randint(0, n_e, (2, 1, 4, 4))
+        gt_indices = jnp.asarray(tgt.numpy().reshape(2, 4, 4))
+
+    z_q_ref, loss_ref, idx_ref = tvq(z, tgt)
+    loss_ref.mean().backward()
+    zgrad_ref = to_nhwc(z.grad)
+
+    z_nhwc = jnp.asarray(to_nhwc(z))
+
+    def loss_fn(z_in, cb):
+        z_q, cb_loss, idx = vector_quantize(z_in, cb, gt_indices=gt_indices,
+                                            lq_stage=lq_stage)
+        return cb_loss, (z_q, idx)
+
+    (loss, (z_q, idx)), zgrad = jax.value_and_grad(loss_fn, has_aux=True)(
+        z_nhwc, jnp.asarray(codebook))
+
+    np.testing.assert_allclose(np.asarray(z_q), to_nhwc(z_q_ref), atol=1e-5)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(idx), idx_ref.numpy().reshape(2, 4, 4))
+    # gradient parity: the codebook loss gradient w.r.t. the encoder features
+    np.testing.assert_allclose(np.asarray(zgrad), zgrad_ref, atol=1e-5)
+
+
+def test_vector_quantizer_ste_gradient():
+    """d(z_q_ste)/dz must be identity (straight-through)."""
+    cb = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)), jnp.float32)
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(1, 2, 2, 4)), jnp.float32)
+
+    def f(z_in):
+        z_q, _, _ = vector_quantize(z_in, cb)
+        return jnp.sum(z_q * 2.0)
+
+    g = jax.grad(f)(z)
+    np.testing.assert_allclose(np.asarray(g), np.full(z.shape, 2.0), atol=1e-6)
+
+
+def test_rstb_parity():
+    swinir = load_reference_module('basicsr.archs.network_swinir')
+    dim, depth, heads, ws = 32, 2, 4, 4
+    trstb = swinir.RSTB(dim, (8, 8), depth, heads, ws, patch_size=1,
+                        img_size=8).eval()
+    sd = state_dict_to_numpy(trstb.state_dict())
+
+    from femasr_tpu.models.convert import (_conv_entries,
+                                           _swin_block_entries)
+    mapping = {}
+    for k in range(depth):
+        mapping.update(_swin_block_entries(
+            ('residual_group', f'blocks_{k}'), f'residual_group.blocks.{k}'))
+    mapping.update(_conv_entries(('conv',), 'conv'))
+    params = convert_with_mapping(sd, mapping)
+
+    x = torch.randn(2, 8 * 8, dim)
+    ref = trstb(x, (8, 8)).detach().numpy().reshape(2, 8, 8, dim)
+
+    rstb = RSTB(dim=dim, input_resolution=(8, 8), depth=depth,
+                num_heads=heads, window_size=ws)
+    out = rstb.apply({'params': params},
+                     jnp.asarray(x.numpy().reshape(2, 8, 8, dim)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)

@@ -1,0 +1,45 @@
+"""Model-weight download/caching helpers.
+
+Parity: /root/reference/basicsr/utils/download_util.py (load_file_from_url:
+70-99). Downloads go to the torch-hub-style cache dir; in air-gapped
+environments the cache is consulted and a clear error raised if absent.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import urlparse
+
+
+def get_cache_dir() -> str:
+    root = os.environ.get('FEMASR_HOME',
+                          os.path.join(os.path.expanduser('~'), '.cache'))
+    return os.path.join(root, 'femasr_tpu', 'weights')
+
+
+def load_file_from_url(url: str, model_dir: str | None = None,
+                       progress: bool = True,
+                       file_name: str | None = None) -> str:
+    """Return a local path for `url`, downloading into the cache if needed."""
+    model_dir = model_dir or get_cache_dir()
+    os.makedirs(model_dir, exist_ok=True)
+    parts = urlparse(url)
+    filename = file_name or os.path.basename(parts.path)
+    cached_file = os.path.abspath(os.path.join(model_dir, filename))
+
+    # also honor the torch hub cache used by the reference
+    torch_hub = os.path.join(os.path.expanduser('~'), '.cache', 'torch', 'hub',
+                             'checkpoints', filename)
+    if not os.path.exists(cached_file) and os.path.exists(torch_hub):
+        return torch_hub
+
+    if not os.path.exists(cached_file):
+        try:
+            from urllib.request import urlretrieve
+            print(f'Downloading: "{url}" to {cached_file}\n')
+            urlretrieve(url, cached_file)
+        except Exception as e:
+            raise FileNotFoundError(
+                f'Could not download {url} ({e}). Place the file manually at '
+                f'{cached_file} or pass an explicit weight path.') from e
+    return cached_file

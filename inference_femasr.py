@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""FeMaSR blind super-resolution CLI (TPU-native).
+
+Same surface as the reference /root/reference/inference_femasr.py
+(argparse -i -w -o -s --suffix --max_size, :22-29) plus TPU knobs
+(--precision, --tile_size, --tile_pad, --tile_batch).
+
+Example:
+    python inference_femasr.py -s 4 -i ./testset -o results_x4/
+"""
+
+import argparse
+import glob
+import os
+import time
+
+import cv2
+import numpy as np
+
+pretrain_model_url = {
+    'x4': 'https://github.com/chaofengc/FeMaSR/releases/download/v0.1-pretrain_models/FeMaSR_SRX4_model_g.pth',
+    'x2': 'https://github.com/chaofengc/FeMaSR/releases/download/v0.1-pretrain_models/FeMaSR_SRX2_model_g.pth',
+}
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description='FeMaSR super-resolution (TPU-native JAX)')
+    parser.add_argument('-i', '--input', type=str, default='./testset',
+                        help='Input image file or folder')
+    parser.add_argument('-w', '--weight', type=str, default=None,
+                        help='Weight path: torch .pth (auto-converted) or flax .ckpt')
+    parser.add_argument('-o', '--output', type=str, default='results',
+                        help='Output folder')
+    parser.add_argument('-s', '--out_scale', type=int, default=4,
+                        help='SR scale: 2 or 4')
+    parser.add_argument('--suffix', type=str, default='',
+                        help='Suffix for restored filenames')
+    parser.add_argument('--max_size', type=int, default=600,
+                        help='Whole-image path if h*w < max_size^2, else tiled')
+    parser.add_argument('--tile_size', type=int, default=240)
+    parser.add_argument('--tile_pad', type=int, default=16)
+    parser.add_argument('--tile_batch', type=int, default=16,
+                        help='Tiles per batched forward')
+    parser.add_argument('--precision', type=str, default='bf16',
+                        choices=['bf16', 'f32'],
+                        help='Compute dtype on TPU (params stay f32)')
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from femasr_tpu.models.inference import load_inferencer
+    from femasr_tpu.utils import imwrite, scandir
+    from femasr_tpu.utils.download_util import load_file_from_url
+
+    weight_path = args.weight
+    if weight_path is None:
+        weight_path = load_file_from_url(
+            pretrain_model_url[f'x{args.out_scale}'])
+
+    dtype = jnp.bfloat16 if args.precision == 'bf16' else jnp.float32
+    sr = load_inferencer(weight_path, scale_factor=args.out_scale,
+                         dtype=dtype, max_tile_batch=args.tile_batch)
+
+    os.makedirs(args.output, exist_ok=True)
+    if os.path.isfile(args.input):
+        paths = [args.input]
+    else:
+        paths = sorted(
+            os.path.join(args.input, p)
+            for p in scandir(args.input, recursive=True)
+            if p.lower().endswith(('.png', '.jpg', '.jpeg', '.bmp', '.webp')))
+    if not paths:
+        raise SystemExit(f'No images found under {args.input}')
+
+    for idx, path in enumerate(paths):
+        img_name = os.path.basename(path)
+        print(f'[{idx + 1}/{len(paths)}] Processing: {img_name}', flush=True)
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            print(f'  ! cannot read {path}, skipping')
+            continue
+        if img.ndim == 2:
+            img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        if img.shape[2] == 4:
+            img = img[:, :, :3]
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+        t0 = time.time()
+        out = sr(rgb, max_size=args.max_size, tile_size=args.tile_size,
+                 tile_pad=args.tile_pad)
+        dt = time.time() - t0
+
+        out_bgr = cv2.cvtColor(
+            (np.clip(out, 0, 1) * 255.0).round().astype(np.uint8),
+            cv2.COLOR_RGB2BGR)
+        base, _ = os.path.splitext(img_name)
+        suffix = f'_{args.suffix}' if args.suffix else ''
+        save_path = os.path.join(args.output, f'{base}{suffix}.png')
+        imwrite(out_bgr, save_path)
+        mp = rgb.shape[0] * rgb.shape[1] / 1e6
+        print(f'  {rgb.shape[1]}x{rgb.shape[0]} -> '
+              f'{out_bgr.shape[1]}x{out_bgr.shape[0]} in {dt:.2f}s '
+              f'({mp / dt:.2f} MP/s input)', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,78 @@
+"""Inference-path tests: padded whole-image parity vs reference `test()`, and
+batched-tile self-consistency."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from femasr_tpu.models.convert import (convert_femasr_checkpoint,
+                                       state_dict_to_numpy)
+from femasr_tpu.models.inference import SRInferencer, flip_pad
+from reference_shim import load_reference_module
+
+CODEBOOK = [[32, 1024, 512]]
+
+
+def _make_pair(scale=4):
+    torch.manual_seed(0)
+    femasr_arch = load_reference_module('basicsr.archs.femasr_arch')
+    tnet = femasr_arch.FeMaSRNet(codebook_params=CODEBOOK, LQ_stage=True,
+                                 scale_factor=scale, norm_type='gn',
+                                 act_type='silu').eval()
+    sd = state_dict_to_numpy(tnet.state_dict())
+    params = convert_femasr_checkpoint(sd, codebook_params=CODEBOOK,
+                                       LQ_stage=True, scale_factor=scale)
+    sr = SRInferencer(params, scale_factor=scale, dtype=jnp.float32)
+    return tnet, sr
+
+
+def test_flip_pad_matches_reference_padding():
+    x = jnp.arange(2 * 5 * 7 * 3, dtype=jnp.float32).reshape(2, 5, 7, 3)
+    t = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+    h_pad, w_pad = 3, 2
+    t2 = torch.cat([t, torch.flip(t, [2])], 2)[:, :, :5 + h_pad, :]
+    t2 = torch.cat([t2, torch.flip(t2, [3])], 3)[:, :, :, :7 + w_pad]
+    out = flip_pad(x, h_pad, w_pad)
+    np.testing.assert_array_equal(
+        np.asarray(out), t2.numpy().transpose(0, 2, 3, 1))
+
+
+def test_whole_image_parity_with_reference_test():
+    tnet, sr = _make_pair()
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 30, 31, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        ref = tnet.test(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    out = np.asarray(sr.run_padded(jnp.asarray(img)))
+    assert out.shape == ref.shape == (1, 120, 124, 3)
+    np.testing.assert_allclose(out, np.clip(ref, 0, 1), atol=5e-4)
+
+
+def test_tiled_matches_whole_in_interior():
+    _, sr = _make_pair()
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((1, 48, 40, 3), dtype=np.float32))
+
+    whole = np.asarray(sr.run_padded(img))
+    tiled = np.asarray(sr.run_tiled(img, tile_size=16, tile_pad=8))
+    assert tiled.shape == whole.shape == (1, 192, 160, 3)
+    # interior far from tile seams and image borders should agree closely
+    diff = np.abs(tiled - whole)[:, 32:-32, 32:-32]
+    assert np.median(diff) < 2e-2
+
+
+def test_dispatcher_selects_paths():
+    _, sr = _make_pair()
+    rng = np.random.default_rng(2)
+    img = rng.random((20, 24, 3), dtype=np.float32)
+    out = sr(img, max_size=600)  # whole path
+    assert out.shape == (80, 96, 3)
+    out2 = sr(img, max_size=16, tile_size=16, tile_pad=8)  # forced tiled path
+    assert out2.shape == (80, 96, 3)

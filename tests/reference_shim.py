@@ -70,6 +70,18 @@ def _install_torchvision_stub():
     sys.modules['torchvision.models.vgg'] = vgg
 
 
+def _install_pyiqa_stub():
+    if 'pyiqa' in sys.modules:
+        return
+    pyiqa = types.ModuleType('pyiqa')
+
+    def create_metric(*a, **k):
+        raise RuntimeError('pyiqa unavailable in this env (stub)')
+
+    pyiqa.create_metric = create_metric
+    sys.modules['pyiqa'] = pyiqa
+
+
 def _install_fake_pkg(name: str, path: str):
     if name in sys.modules:
         return
@@ -82,6 +94,7 @@ def load_reference_module(modname: str):
     """Import e.g. 'basicsr.archs.femasr_arch' from /root/reference."""
     _install_timm_stub()
     _install_torchvision_stub()
+    _install_pyiqa_stub()
     _install_fake_pkg('basicsr', REF_ROOT)
     _install_fake_pkg('basicsr.utils', REF_ROOT + '/utils')
     _install_fake_pkg('basicsr.archs', REF_ROOT + '/archs')

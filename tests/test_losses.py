@@ -1,0 +1,130 @@
+"""Loss parity vs the reference torch losses + LPIPS formula validation."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from femasr_tpu.losses import (GANLoss, L1Loss, MSELoss, CharbonnierLoss,
+                               WeightedTVLoss, LPIPS, build_loss)
+from reference_shim import load_reference_module
+
+
+@pytest.fixture(scope='module')
+def ref_losses():
+    return load_reference_module('basicsr.losses.losses')
+
+
+def nchw(a):
+    return torch.from_numpy(np.asarray(a).transpose(0, 3, 1, 2))
+
+
+@pytest.mark.parametrize('cls,refname', [(L1Loss, 'L1Loss'),
+                                         (MSELoss, 'MSELoss'),
+                                         (CharbonnierLoss, 'CharbonnierLoss')])
+def test_pixel_losses_parity(ref_losses, cls, refname):
+    rng = np.random.default_rng(0)
+    pred = rng.random((2, 8, 8, 3), dtype=np.float32)
+    tgt = rng.random((2, 8, 8, 3), dtype=np.float32)
+    w = rng.random((2, 8, 8, 3), dtype=np.float32)
+
+    ours = cls(loss_weight=0.7)
+    ref = getattr(ref_losses, refname)(loss_weight=0.7)
+    np.testing.assert_allclose(
+        float(ours(jnp.asarray(pred), jnp.asarray(tgt))),
+        float(ref(nchw(pred), nchw(tgt))), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(ours(jnp.asarray(pred), jnp.asarray(tgt), weight=jnp.asarray(w))),
+        float(ref(nchw(pred), nchw(tgt), weight=nchw(w))), rtol=1e-5)
+
+
+def test_tv_loss_parity(ref_losses):
+    rng = np.random.default_rng(1)
+    pred = rng.random((2, 7, 9, 3), dtype=np.float32)
+    ours = WeightedTVLoss(loss_weight=2.0)
+    ref = ref_losses.WeightedTVLoss(loss_weight=2.0)
+    np.testing.assert_allclose(float(ours(jnp.asarray(pred))),
+                               float(ref(nchw(pred))), rtol=1e-5)
+
+
+@pytest.mark.parametrize('gan_type', ['vanilla', 'lsgan', 'wgan',
+                                      'wgan_softplus', 'hinge'])
+@pytest.mark.parametrize('target_is_real', [True, False])
+@pytest.mark.parametrize('is_disc', [True, False])
+def test_gan_loss_parity(ref_losses, gan_type, target_is_real, is_disc):
+    rng = np.random.default_rng(2)
+    pred = rng.normal(size=(2, 4, 4, 1)).astype(np.float32)
+    ours = GANLoss(gan_type, loss_weight=0.1)
+    ref = ref_losses.GANLoss(gan_type, loss_weight=0.1)
+    np.testing.assert_allclose(
+        float(ours(jnp.asarray(pred), target_is_real, is_disc)),
+        float(ref(nchw(pred), target_is_real, is_disc)), rtol=1e-5, atol=1e-7)
+
+
+def test_build_loss_from_yaml_opts():
+    loss = build_loss({'type': 'GANLoss', 'gan_type': 'hinge',
+                       'real_label_val': 1.0, 'fake_label_val': 0.0,
+                       'loss_weight': 0.1})
+    assert isinstance(loss, GANLoss)
+    assert loss.loss_weight == 0.1
+
+
+def test_lpips_formula_against_torch_mirror():
+    """Validate the LPIPS computation graph with random weights against a
+    literal torch implementation of the published formula."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 16, 16, 3), dtype=np.float32)
+    y = rng.random((1, 16, 16, 3), dtype=np.float32)
+
+    model = LPIPS()
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y))
+    dist = model.apply(params, jnp.asarray(x), jnp.asarray(y))
+
+    # torch mirror using the SAME (converted-back) random weights
+    from femasr_tpu.losses.lpips import (LPIPS_SHIFT, LPIPS_SCALE,
+                                         LPIPS_VGG_LAYERS)
+    from femasr_tpu.models.vgg_arch import vgg_layer_names
+    p = params['params']
+
+    def torch_vgg_feats(img_nchw):
+        names = vgg_layer_names('vgg16')
+        out = {}
+        t = img_nchw
+        for name in names:
+            if name.startswith('conv'):
+                w = torch.from_numpy(
+                    np.asarray(p['net'][name]['kernel']).transpose(3, 2, 0, 1).copy())
+                b = torch.from_numpy(np.asarray(p['net'][name]['bias']).copy())
+                t = F.conv2d(t, w, b, padding=1)
+            elif name.startswith('relu'):
+                t = F.relu(t)
+            elif name.startswith('pool'):
+                t = F.max_pool2d(t, 2)
+            if name in LPIPS_VGG_LAYERS:
+                out[name] = t
+                if name == LPIPS_VGG_LAYERS[-1]:
+                    break
+        return out
+
+    def scale(img):
+        img = img * 2 - 1
+        shift = torch.from_numpy(LPIPS_SHIFT.reshape(1, 3, 1, 1).copy())
+        sc = torch.from_numpy(LPIPS_SCALE.reshape(1, 3, 1, 1).copy())
+        return (img - shift) / sc
+
+    fx = torch_vgg_feats(scale(nchw(x)))
+    fy = torch_vgg_feats(scale(nchw(y)))
+    total = 0.0
+    for i, layer in enumerate(LPIPS_VGG_LAYERS):
+        nx = fx[layer] / (fx[layer].square().sum(1, keepdim=True).sqrt() + 1e-10)
+        ny = fy[layer] / (fy[layer].square().sum(1, keepdim=True).sqrt() + 1e-10)
+        d2 = (nx - ny).square()
+        lw = torch.from_numpy(np.asarray(p[f'lin{i}']).copy()).reshape(1, -1, 1, 1)
+        total = total + (d2 * lw).sum(1).mean()
+
+    np.testing.assert_allclose(float(dist[0]), float(total), rtol=1e-4)

@@ -43,24 +43,28 @@ class SRInferencer:
                  scale_factor: int = 4, dtype=jnp.float32,
                  gt_resolution: int = 256, norm_type: str = 'gn',
                  act_type: str = 'silu', vq_backend: str = 'xla',
-                 max_tile_batch: int = 16):
-        self.model = FeMaSRNet(
+                 max_tile_batch: int = 16, lq_stage: bool = True,
+                 model: Optional[FeMaSRNet] = None, init_merge: bool = True):
+        self.model = model or FeMaSRNet(
             codebook_params=[list(p) for p in codebook_params],
-            LQ_stage=True, scale_factor=scale_factor,
+            LQ_stage=lq_stage, scale_factor=scale_factor,
             gt_resolution=gt_resolution, norm_type=norm_type,
             act_type=act_type, vq_backend=vq_backend, dtype=dtype)
-        # complete possibly-partial param trees against a fresh init
-        # (non-strict load parity with base_model.py:258-291)
-        from .convert import merge_params
-        init = self.model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 32, 32, 3), dtype))
-        self.params = jax.device_put(merge_params(init['params'], params))
-        self.scale = scale_factor
+        if init_merge:
+            # complete possibly-partial param trees against a fresh init
+            # (non-strict load parity with base_model.py:258-291)
+            from .convert import merge_params
+            init_hw = 32 * self.model.effective_scale_factor
+            init = self.model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, init_hw, init_hw, 3), dtype))
+            params = merge_params(init['params'], params)
+        self.params = jax.device_put(params)
+        self.scale = self.model.effective_scale_factor
         self.dtype = dtype
         self.max_tile_batch = max_tile_batch
         # pad target: multiple of window_size * 8 at the Swin resolution
         # (femasr_arch.py:455): wsz = 8 // scale_factor * 8
-        self.wsz = max(8 // scale_factor, 1) * 8
+        self.wsz = max(8 // self.scale, 1) * 8
 
         @jax.jit
         def _forward(params, x):

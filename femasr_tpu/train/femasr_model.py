@@ -1,0 +1,639 @@
+"""FeMaSR GAN trainer: one pjit-compiled G+D step over the device mesh.
+
+Capability parity with /root/reference/basicsr/models/femasr_model.py
+(FeMaSRModel:19-373): frozen HQ prior supplying GT codebook indices, frozen
+module masking, codebook/semantic/pixel/perceptual/hinge-GAN generator losses,
+alternating discriminator real/fake step with accumulated gradients, metric
+validation with best-model tracking, codebook visualization.
+
+TPU-first design:
+- The whole G-step + D-step is ONE jitted function: gradients, optimizer
+  updates, spectral-norm power iterations and loss logging all fuse into a
+  single XLA program; cross-device gradient averaging is XLA's psum over the
+  'data' mesh axis (replacing DDP/NCCL).
+- Frozen modules use optax.multi_transform masking (DDP
+  `find_unused_parameters` has no analogue or need).
+- The frozen HQ model / VGG / LPIPS weights are passed as explicit arguments
+  (never traced as constants, never optimized).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from os import path as osp
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from ..losses import GANLoss, build_loss
+from ..metrics import create_metric
+from ..models import build_network
+from ..models.convert import merge_params
+from ..models.inference import SRInferencer
+from ..parallel.mesh import (batch_sharding, create_mesh, is_main_process,
+                             make_global_batch, replicated)
+from ..utils import get_root_logger, tensor2img
+from ..utils.registry import MODEL_REGISTRY
+from .base_model import BaseModel
+from .lr_scheduler import build_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params_g: Any
+    opt_g: Any
+    params_d: Any
+    opt_d: Any
+    spectral: Any
+    rng: jax.Array
+
+
+def _frozen_mask_labels(params: Any, keywords) -> Any:
+    """'train'/'freeze' label tree by path-substring match
+    (reference femasr_model.py:49-56)."""
+    flat = flatten_dict(params, sep='/')
+    labels = {}
+    for path in flat:
+        frozen = any(kw in path for kw in (keywords or []))
+        labels[path] = 'freeze' if frozen else 'train'
+    return unflatten_dict(labels, sep='/')
+
+
+def _adam_from_opt(optim_opt: dict, schedule) -> optax.GradientTransformation:
+    opt = dict(optim_opt)
+    opt.pop('type', None)
+    betas = opt.get('betas', (0.9, 0.999))
+    wd = opt.get('weight_decay', 0)
+    if wd:
+        return optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
+    return optax.adam(schedule, b1=betas[0], b2=betas[1])
+
+
+@MODEL_REGISTRY.register()
+class FeMaSRModel(BaseModel):
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        logger = get_root_logger()
+        # reference `num_gpu` semantics: train over the first N devices
+        num_devices = opt.get('num_gpu') or len(jax.devices())
+        devices = jax.devices()[:num_devices]
+        self.mesh = create_mesh(model=opt.get('model_parallel', 1),
+                                devices=devices)
+
+        self.net_g = build_network(opt['network_g'])
+        self.LQ_stage = bool(opt['network_g'].get('LQ_stage', False))
+        self.scale = self.net_g.effective_scale_factor
+        gt_size = (opt.get('datasets', {}).get('train', {}) or {}).get(
+            'gt_size', opt['network_g'].get('gt_resolution', 256))
+        self.gt_size = int(gt_size)
+        lq_size = self.gt_size // self.scale
+
+        rng = jax.random.PRNGKey(opt.get('manual_seed', 0) or 0)
+        self.rng, init_rng = jax.random.split(rng)
+        init_x = jnp.zeros((1, lq_size, lq_size, 3), self.net_g.dtype)
+        self.params_g = jax.jit(
+            lambda r: self.net_g.init(r, init_x)['params'])(init_rng)
+
+        # frozen HQ prior for the LQ stage (femasr_model.py:36-56)
+        self.net_hq = None
+        self.params_hq = None
+        if self.LQ_stage:
+            load_path = opt['path'].get('pretrain_network_hq')
+            if self.is_train:
+                assert load_path is not None, (
+                    'Need to specify hq prior model path in LQ stage')
+            if load_path is not None:
+                hq_opt = dict(opt['network_g'])
+                hq_opt['LQ_stage'] = False
+                self.net_hq = build_network(hq_opt)
+                hq_loaded = self._load_any_network(load_path, lq_stage=False)
+                hq_init = jax.jit(lambda r: self.net_hq.init(
+                    r, jnp.zeros((1, self.gt_size, self.gt_size, 3),
+                                 self.net_hq.dtype))['params'])(init_rng)
+                self.params_hq = merge_params(hq_init, hq_loaded)
+                # initialize the LQ net from the HQ prior (non-strict)
+                self.params_g = merge_params(self.params_g, hq_loaded)
+
+        load_path = opt['path'].get('pretrain_network_g')
+        if load_path is not None:
+            logger.info(f'Loading net_g from {load_path}')
+            loaded = self._load_any_network(load_path, lq_stage=self.LQ_stage)
+            self.params_g = merge_params(self.params_g, loaded)
+
+        # frozen perceptual backbones
+        self.lpips_params = self._maybe_load_lpips()
+        self.vgg_params = self._maybe_load_vgg()
+
+        if self.is_train:
+            self.init_training_settings()
+
+        self.params_g_best = None
+        self._inferencer: Optional[SRInferencer] = None
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def _load_any_network(self, path: str, lq_stage: bool):
+        """Load .ckpt (native) or .pth (reference format, auto-converted)."""
+        if path.endswith(('.pth', '.pt')):
+            from ..models.convert import (convert_femasr_checkpoint,
+                                          load_torch_checkpoint)
+            sd = load_torch_checkpoint(path)
+            return convert_femasr_checkpoint(
+                sd,
+                codebook_params=self.opt['network_g']['codebook_params'],
+                gt_resolution=self.opt['network_g'].get('gt_resolution', 256),
+                LQ_stage=lq_stage,
+                scale_factor=self.opt['network_g'].get('scale_factor', 4),
+                act_type=self.opt['network_g'].get('act_type', 'silu'),
+                use_semantic_loss=self.opt['network_g'].get(
+                    'use_semantic_loss', False))
+        return self.load_network(path)
+
+    def _maybe_load_lpips(self):
+        path = self.opt['path'].get('pretrain_lpips') if 'path' in self.opt \
+            else None
+        if path and os.path.exists(path):
+            from ..losses import convert_lpips_checkpoint
+            if path.endswith(('.pth', '.pt')):
+                from ..models.convert import load_torch_checkpoint
+                sd = load_torch_checkpoint(path, param_key=None)
+                return convert_lpips_checkpoint(sd)
+            from ..utils.checkpoint import load_pytree
+            return load_pytree(path)
+        return None
+
+    def _maybe_load_vgg(self):
+        path = self.opt['path'].get('pretrain_vgg') if 'path' in self.opt \
+            else None
+        if path and os.path.exists(path):
+            from ..models.vgg_arch import convert_vgg_checkpoint
+            from ..models.convert import load_torch_checkpoint
+            sd = load_torch_checkpoint(path, param_key=None)
+            return {'vgg19': convert_vgg_checkpoint(sd, 'vgg19')}
+        return None
+
+    def init_training_settings(self):
+        logger = get_root_logger()
+        opt = self.opt
+        train_opt = opt['train']
+
+        self.net_d = build_network(opt['network_d'])
+        d_init = jax.jit(lambda r: self.net_d.init(
+            r, jnp.zeros((1, self.gt_size, self.gt_size, 3),
+                         self.net_d.dtype)))(jax.random.PRNGKey(1))
+        self.params_d = d_init['params']
+        self.spectral = d_init['spectral']
+        load_path = opt['path'].get('pretrain_network_d')
+        if load_path is not None:
+            logger.info(f'Loading net_d from {load_path}')
+            if load_path.endswith(('.pth', '.pt')):
+                from ..models.convert import (
+                    convert_discriminator_checkpoint, load_torch_checkpoint)
+                sd = load_torch_checkpoint(load_path)
+                p, s = convert_discriminator_checkpoint(sd)
+                self.params_d = merge_params(self.params_d, p)
+                self.spectral = merge_params(self.spectral, s)
+            else:
+                tree = self.load_network(load_path, param_key=None)
+                self.params_d = merge_params(self.params_d,
+                                             tree.get('params', tree))
+                if 'spectral' in tree:
+                    self.spectral = merge_params(self.spectral,
+                                                 tree['spectral'])
+
+        # losses
+        self.cri_pix = (build_loss(train_opt['pixel_opt'])
+                        if train_opt.get('pixel_opt') else None)
+        self.cri_perceptual = None
+        if train_opt.get('perceptual_opt'):
+            cri = build_loss(train_opt['perceptual_opt'])
+            from ..losses import LPIPSLoss, PerceptualLoss
+            if isinstance(cri, LPIPSLoss):
+                if self.lpips_params is not None:
+                    cri.bind_params(self.lpips_params)
+                    self.cri_perceptual = cri
+                else:
+                    logger.warning(
+                        'LPIPS weights unavailable (set path.pretrain_lpips); '
+                        'perceptual loss DISABLED for this run.')
+            elif isinstance(cri, PerceptualLoss):
+                if self.vgg_params is not None:
+                    cri.bind_params(self.vgg_params['vgg19'])
+                    self.cri_perceptual = cri
+                else:
+                    logger.warning('VGG weights unavailable (set '
+                                   'path.pretrain_vgg); perceptual loss '
+                                   'DISABLED for this run.')
+        self.cri_gan: GANLoss = build_loss(train_opt['gan_opt'])
+        self.use_dis = train_opt['gan_opt']['loss_weight'] != 0
+        self.fixed_disc = train_opt.get('fixed_disc', False)
+        self.net_d_iters = train_opt.get('net_d_iters', 1)
+        self.net_d_init_iters = int(train_opt.get('net_d_init_iters', 0))
+        self.codebook_w = (train_opt.get('codebook_opt') or {}).get(
+            'loss_weight', 0.0)
+        self.semantic_w = (train_opt.get('semantic_opt') or {}).get(
+            'loss_weight', 0.0)
+        self.use_semantic = (self.net_g.use_semantic_loss
+                             and self.vgg_params is not None
+                             and self.semantic_w > 0)
+        if self.net_g.use_semantic_loss and self.vgg_params is None:
+            logger.warning('use_semantic_loss requested but no VGG weights; '
+                           'semantic loss DISABLED for this run.')
+
+        # optimizers + schedules
+        warmup = train_opt.get('warmup_iter', -1)
+        self.sched_g = build_schedule(train_opt.get('scheduler'),
+                                      train_opt['optim_g']['lr'], warmup)
+        self.sched_d = build_schedule(train_opt.get('scheduler'),
+                                      train_opt['optim_d']['lr'], warmup)
+        adam_g = _adam_from_opt(train_opt['optim_g'], self.sched_g)
+        keywords = self.opt['network_g'].get('frozen_module_keywords')
+        if self.LQ_stage and keywords:
+            labels = _frozen_mask_labels(self.params_g, keywords)
+            self.tx_g = optax.multi_transform(
+                {'train': adam_g, 'freeze': optax.set_to_zero()}, labels)
+            n_frozen = sum(
+                1 for v in jax.tree.leaves(
+                    jax.tree.map(lambda lab: lab == 'freeze', labels)) if v)
+            get_root_logger().info(f'Froze {n_frozen} param tensors by '
+                                   f'keywords {keywords}')
+        else:
+            self.tx_g = adam_g
+        self.tx_d = _adam_from_opt(train_opt['optim_d'], self.sched_d)
+
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params_g=self.params_g,
+            opt_g=self.tx_g.init(self.params_g),
+            params_d=self.params_d,
+            opt_d=self.tx_d.init(self.params_d),
+            spectral=self.spectral,
+            rng=self.rng)
+        # params live replicated on the mesh; batch is sharded over 'data'
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------
+    # the jitted step
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self):
+        net_g, net_d, net_hq = self.net_g, self.net_d, self.net_hq
+        cri_pix, cri_perceptual, cri_gan = (self.cri_pix, self.cri_perceptual,
+                                            self.cri_gan)
+        codebook_w, semantic_w = self.codebook_w, self.semantic_w
+        use_dis, fixed_disc = self.use_dis, self.fixed_disc
+        lq_stage, use_semantic = self.LQ_stage, self.use_semantic
+        net_d_init_iters = self.net_d_init_iters
+        tx_g, tx_d = self.tx_g, self.tx_d
+        vgg_params = self.vgg_params
+
+        if use_semantic:
+            from ..models.vgg_arch import VGGFeatureExtractor
+            vgg_extractor = VGGFeatureExtractor(layer_name_list=['relu4_4'],
+                                                vgg_type='vgg19',
+                                                dtype=net_g.dtype)
+
+        def train_step(state: TrainState, lq, gt, params_hq):
+            rng, _ = jax.random.split(state.rng)
+            # reference gating: `current_iter > net_d_init_iters` with
+            # current_iter starting at 1 (femasr_model.py:186,197)
+            gan_gate = (jnp.asarray(state.step + 1 > net_d_init_iters,
+                                    jnp.float32)
+                        if use_dis else jnp.zeros((), jnp.float32))
+
+            gt_indices = None
+            gt_rec = None
+            if lq_stage:
+                gt_rec, _, _, gt_idx_list = net_hq.apply(
+                    {'params': params_hq}, gt.astype(net_hq.dtype))
+                gt_indices = [jax.lax.stop_gradient(i) for i in gt_idx_list]
+                gt_rec = jax.lax.stop_gradient(gt_rec)
+
+            vgg_feat = None
+            if use_semantic:
+                vgg_feat = jax.lax.stop_gradient(vgg_extractor.apply(
+                    {'params': vgg_params['vgg19']},
+                    (gt if not lq_stage else gt).astype(net_g.dtype))['relu4_4'])
+
+            gen_in = lq if lq_stage else gt
+
+            def g_loss_fn(params_g):
+                out, l_codebook, l_semantic, _ = net_g.apply(
+                    {'params': params_g}, gen_in.astype(net_g.dtype),
+                    gt_indices=gt_indices, vgg_feat=vgg_feat, train=True)
+                out32 = out.astype(jnp.float32)
+                total = jnp.zeros((), jnp.float32)
+                ld = OrderedDict()
+                if codebook_w:
+                    l_cb = l_codebook * codebook_w
+                    total += l_cb
+                    ld['l_codebook'] = l_cb
+                if use_semantic and semantic_w:
+                    l_sem = l_semantic * semantic_w
+                    total += l_sem
+                    ld['l_semantic'] = l_sem
+                if cri_pix is not None:
+                    l_pix = cri_pix(out32, gt)
+                    total += l_pix
+                    ld['l_pix'] = l_pix
+                if cri_perceptual is not None:
+                    l_percep, l_style = cri_perceptual(out32, gt)
+                    if l_percep is not None:
+                        total += l_percep
+                        ld['l_percep'] = l_percep
+                    if l_style is not None:
+                        total += l_style
+                        ld['l_style'] = l_style
+                if use_dis:
+                    fake_pred = net_d.apply(
+                        {'params': jax.lax.stop_gradient(state.params_d),
+                         'spectral': state.spectral},
+                        out.astype(net_d.dtype))
+                    l_g_gan = cri_gan(fake_pred, True, is_disc=False) * gan_gate
+                    total += l_g_gan
+                    ld['l_g_gan'] = l_g_gan
+                return total, (ld, out32)
+
+            (l_g_total, (loss_dict, output)), grads_g = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.params_g)
+            updates_g, opt_g = tx_g.update(grads_g, state.opt_g,
+                                           state.params_g)
+            params_g = optax.apply_updates(state.params_g, updates_g)
+            loss_dict['l_g_total'] = l_g_total
+
+            # ---- discriminator step (real & fake backwards accumulate) ----
+            params_d, opt_d, spectral = (state.params_d, state.opt_d,
+                                         state.spectral)
+            if use_dis and not fixed_disc:
+                def d_real_fn(pd, spec):
+                    pred, mut = net_d.apply(
+                        {'params': pd, 'spectral': spec},
+                        gt.astype(net_d.dtype), update_stats=True,
+                        mutable=['spectral'])
+                    return cri_gan(pred, True, is_disc=True), (
+                        mut['spectral'], jnp.mean(pred.astype(jnp.float32)))
+
+                def d_fake_fn(pd, spec):
+                    pred, mut = net_d.apply(
+                        {'params': pd, 'spectral': spec},
+                        jax.lax.stop_gradient(output).astype(net_d.dtype),
+                        update_stats=True, mutable=['spectral'])
+                    return cri_gan(pred, False, is_disc=True), (
+                        mut['spectral'], jnp.mean(pred.astype(jnp.float32)))
+
+                (l_d_real, (spec1, out_d_real)), grads_real = \
+                    jax.value_and_grad(d_real_fn, has_aux=True)(params_d,
+                                                                spectral)
+                (l_d_fake, (spec2, out_d_fake)), grads_fake = \
+                    jax.value_and_grad(d_fake_fn, has_aux=True)(params_d,
+                                                                spec1)
+                grads_d = jax.tree.map(jnp.add, grads_real, grads_fake)
+
+                def do_update(args):
+                    grads_d, opt_d, params_d = args
+                    updates_d, new_opt_d = tx_d.update(grads_d, opt_d,
+                                                       params_d)
+                    return optax.apply_updates(params_d, updates_d), new_opt_d
+
+                params_d, opt_d = jax.lax.cond(
+                    gan_gate > 0, do_update,
+                    lambda args: (args[2], args[1]),
+                    (grads_d, state.opt_d, state.params_d))
+                spectral = jax.tree.map(
+                    lambda new, old: jnp.where(gan_gate > 0, new, old),
+                    spec2, state.spectral)
+                loss_dict['l_d_real'] = l_d_real
+                loss_dict['l_d_fake'] = l_d_fake
+                loss_dict['out_d_real'] = out_d_real
+                loss_dict['out_d_fake'] = out_d_fake
+
+            new_state = state.replace(
+                step=state.step + 1, params_g=params_g, opt_g=opt_g,
+                params_d=params_d, opt_d=opt_d, spectral=spectral, rng=rng)
+            aux = {'output': output}
+            if gt_rec is not None:
+                aux['gt_rec'] = gt_rec
+            return new_state, loss_dict, aux
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # training API (mirrors reference method names)
+    # ------------------------------------------------------------------
+
+    def feed_data(self, data: Dict[str, Any]) -> None:
+        batch = make_global_batch(self.mesh, data)
+        self.lq = batch.get('lq')
+        self.gt = batch.get('gt')
+
+    def optimize_parameters(self, current_iter: int) -> None:
+        self.state, loss_dict, aux = self._train_step(
+            self.state, self.lq, self.gt, self.params_hq)
+        self.output = aux['output']
+        if 'gt_rec' in aux:
+            self.gt_rec = aux['gt_rec']
+        self.log_dict = self.reduce_loss_dict(loss_dict)
+
+    def get_current_learning_rate(self):
+        step = int(np.asarray(self.state.step))
+        return [float(self.sched_g(step)), float(self.sched_d(step))]
+
+    # ------------------------------------------------------------------
+    # inference / validation
+    # ------------------------------------------------------------------
+
+    def _get_inferencer(self) -> SRInferencer:
+        if self._inferencer is None:
+            self._inferencer = SRInferencer(
+                self.current_params_g(), model=self.net_g, init_merge=False,
+                dtype=self.net_g.dtype)
+        else:
+            self._inferencer.params = self.current_params_g()
+        return self._inferencer
+
+    def current_params_g(self):
+        return self.state.params_g if self.is_train else self.params_g
+
+    def test(self, lq_img: np.ndarray) -> np.ndarray:
+        """Whole-vs-tiled dispatch by pixel count (femasr_model.py:217-227)."""
+        sr = self._get_inferencer()
+        h, w = lq_img.shape[:2]
+        min_size = 8000 * 8000
+        if h * w < min_size:
+            return np.asarray(sr.run_padded(jnp.asarray(lq_img)[None])[0])
+        return np.asarray(sr.run_tiled(jnp.asarray(lq_img)[None])[0])
+
+    def dist_validation(self, dataloader, current_iter, tb_logger, save_img,
+                        save_as_dir=None):
+        logger = get_root_logger()
+        logger.info('Only support single GPU validation.')
+        self.nondist_validation(dataloader, current_iter, tb_logger, save_img,
+                                save_as_dir)
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger,
+                           save_img, save_as_dir=None):
+        dataset_name = dataloader.dataset.opt['name']
+        with_metrics = self.opt['val'].get('metrics') is not None
+        metric_funcs = {}
+        if with_metrics:
+            for name, mopt in self.opt['val']['metrics'].items():
+                kw = {k: v for k, v in dict(mopt).items()
+                      if k not in ('type', 'better')}
+                fn = create_metric(mopt['type'], lpips_params=self.lpips_params,
+                                   **kw)
+                if fn is None:
+                    get_root_logger().warning(
+                        f'metric {name} unavailable (missing weights), skipped')
+                else:
+                    metric_funcs[name] = fn
+            self.metric_results = {m: 0 for m in metric_funcs}
+            self._initialize_best_metric_results(dataset_name)
+            self.key_metric = self.opt['val'].get('key_metric')
+
+        count = 0
+        for val_data in dataloader:
+            img_name = osp.splitext(osp.basename(val_data['lq_path'][0]))[0]
+            lq = val_data['lq'][0]
+            sr_out = self.test(lq)
+            sr_img = tensor2img(sr_out)
+            count += 1
+
+            if save_img:
+                if self.opt['is_train']:
+                    save_path = osp.join(self.opt['path']['visualization'],
+                                         'image_results', f'{current_iter}',
+                                         f'{img_name}.png')
+                else:
+                    suffix = self.opt['val'].get('suffix') or self.opt['name']
+                    save_path = osp.join(self.opt['path']['visualization'],
+                                         dataset_name,
+                                         f'{img_name}_{suffix}.png')
+                from ..utils import imwrite
+                if save_as_dir:
+                    imwrite(sr_img, osp.join(save_as_dir, f'{img_name}.png'))
+                imwrite(sr_img, save_path)
+
+            if with_metrics and 'gt' in val_data:
+                gt = np.asarray(val_data['gt'][0])
+                sr01 = sr_img[..., ::-1].astype(np.float32) / 255.0  # BGR->RGB
+                for name, fn in metric_funcs.items():
+                    self.metric_results[name] += fn(sr01, gt)
+
+        if with_metrics and metric_funcs:
+            for m in self.metric_results:
+                self.metric_results[m] /= count
+            key = self.key_metric if self.key_metric in self.metric_results \
+                else None
+            if key is not None:
+                updated = self._update_best_metric_result(
+                    dataset_name, key, self.metric_results[key], current_iter)
+                if updated:
+                    for name in metric_funcs:
+                        self._update_metric_result(
+                            dataset_name, name, self.metric_results[name],
+                            current_iter)
+                    self.copy_model_to_best()
+                    self.save_network(self.current_params_g(), 'net_g_best', '')
+                    if self.is_train:
+                        self.save_network({'params': self.state.params_d,
+                                           'spectral': self.state.spectral},
+                                          'net_d_best', '', param_key='tree')
+            else:
+                updated = [self._update_best_metric_result(
+                    dataset_name, name, self.metric_results[name],
+                    current_iter) for name in metric_funcs]
+                if sum(updated):
+                    self.copy_model_to_best()
+                    self.save_network(self.current_params_g(), 'net_g_best', '')
+            self._log_validation_metric_values(current_iter, dataset_name,
+                                               tb_logger)
+
+    def copy_model_to_best(self):
+        self.params_g_best = jax.tree.map(np.asarray, self.current_params_g())
+
+    def _log_validation_metric_values(self, current_iter, dataset_name,
+                                      tb_logger):
+        log_str = f'Validation {dataset_name}\n'
+        for metric, value in self.metric_results.items():
+            log_str += f'\t # {metric}: {value:.4f}'
+            if dataset_name in self.best_metric_results:
+                rec = self.best_metric_results[dataset_name][metric]
+                log_str += (f"\tBest: {rec['val']:.4f} @ {rec['iter']} iter")
+            log_str += '\n'
+        get_root_logger().info(log_str)
+        if tb_logger:
+            for metric, value in self.metric_results.items():
+                tb_logger.add_scalar(f'metrics/{dataset_name}/{metric}', value,
+                                     current_iter)
+
+    # ------------------------------------------------------------------
+    # visualization / checkpointing
+    # ------------------------------------------------------------------
+
+    def vis_single_code(self, up_factor: int = 2):
+        """Decode every codebook entry to an image grid
+        (femasr_model.py:345-354)."""
+        codenum = int(self.opt['network_g']['codebook_params'][0][1])
+        code_idx = jnp.arange(codenum).reshape(codenum, 1, 1)
+        code_idx = jnp.tile(code_idx, (1, up_factor, up_factor))
+        apply_fn = jax.jit(lambda p, idx: self.net_g.apply(
+            {'params': p}, idx, method='decode_indices'))
+        # decode in chunks to bound memory
+        outs = []
+        chunk = 256
+        for i in range(0, codenum, chunk):
+            outs.append(np.asarray(
+                apply_fn(self.current_params_g(), code_idx[i:i + chunk])))
+        return np.concatenate(outs, axis=0)
+
+    def get_current_visuals(self) -> Dict[str, np.ndarray]:
+        vis = 16
+        out = OrderedDict()
+        out['lq'] = np.asarray(self.lq)[:vis]
+        out['result'] = np.asarray(self.output)[:vis]
+        if not self.LQ_stage:
+            out['codebook'] = self.vis_single_code()
+        if hasattr(self, 'gt_rec'):
+            out['gt_rec'] = np.asarray(self.gt_rec)[:vis]
+        if self.gt is not None:
+            out['gt'] = np.asarray(self.gt)[:vis]
+        return out
+
+    def save(self, epoch: int, current_iter: int) -> None:
+        self.save_network(self.state.params_g, 'net_g', current_iter)
+        self.save_network({'params': self.state.params_d,
+                           'spectral': self.state.spectral}, 'net_d',
+                          current_iter, param_key='tree')
+        self.save_training_state(
+            {'opt_g': self.state.opt_g, 'opt_d': self.state.opt_d,
+             'params_g': self.state.params_g, 'params_d': self.state.params_d,
+             'spectral': self.state.spectral,
+             'step': self.state.step, 'rng': self.state.rng},
+            epoch, current_iter)
+
+    def resume_training(self, state_path: str) -> Dict[str, int]:
+        tree = self.resume_training_state(state_path)
+        saved = tree['state']
+        target = {'opt_g': self.state.opt_g, 'opt_d': self.state.opt_d,
+                  'params_g': self.state.params_g,
+                  'params_d': self.state.params_d,
+                  'spectral': self.state.spectral, 'step': self.state.step,
+                  'rng': self.state.rng}
+        from flax import serialization
+        restored = serialization.from_state_dict(target, saved)
+        self.state = self.state.replace(
+            step=jnp.asarray(restored['step']),
+            params_g=restored['params_g'], opt_g=restored['opt_g'],
+            params_d=restored['params_d'], opt_d=restored['opt_d'],
+            spectral=restored['spectral'], rng=jnp.asarray(restored['rng']))
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        return {'epoch': int(tree['epoch']), 'iter': int(tree['iter'])}

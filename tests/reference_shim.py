@@ -100,4 +100,5 @@ def load_reference_module(modname: str):
     _install_fake_pkg('basicsr.archs', REF_ROOT + '/archs')
     _install_fake_pkg('basicsr.data', REF_ROOT + '/data')
     _install_fake_pkg('basicsr.losses', REF_ROOT + '/losses')
+    _install_fake_pkg('basicsr.models', REF_ROOT + '/models')
     return importlib.import_module(modname)

@@ -1,0 +1,232 @@
+"""End-to-end trainer tests on tiny configs (CPU): HQ stage, LQ stage with
+frozen modules, checkpoint/resume, LR schedules."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+
+from femasr_tpu.utils.options import yaml_load
+
+
+@pytest.fixture(scope='module')
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('trainer_data')
+    gt_dir = root / 'gt'
+    lq_dir = root / 'lq'
+    gt_dir.mkdir()
+    lq_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        gt = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(gt_dir / f'im{i}.png'), gt)
+        cv2.imwrite(str(lq_dir / f'im{i}.png'), cv2.resize(gt, (16, 16)))
+    return root
+
+
+def _base_opt(root, name, total_iter=3):
+    return yaml_load(f"""
+name: {name}
+model_type: FeMaSRModel
+scale: 4
+num_gpu: auto
+manual_seed: 0
+datasets:
+  train:
+    name: t
+    type: PairedImageDataset
+    dataroot_gt: {root}/gt
+    dataroot_lq: {root}/lq
+    io_backend: {{type: disk}}
+    gt_size: 64
+    use_resize_crop: false
+    use_flip: true
+    use_rot: true
+    use_shuffle: true
+    batch_size_per_gpu: 1
+    num_worker_per_gpu: 0
+    dataset_enlarge_ratio: 1
+network_g:
+  type: FeMaSRNet
+  gt_resolution: 256
+  norm_type: 'gn'
+  act_type: 'silu'
+  codebook_params:
+    - [32, 64, 64]
+  LQ_stage: false
+  use_quantize: true
+network_d: {{type: UNetDiscriminatorSN, num_in_ch: 3}}
+path: {{strict_load: false}}
+train:
+  optim_g: {{type: Adam, lr: !!float 1e-4, weight_decay: 0, betas: [0.9, 0.99]}}
+  optim_d: {{type: Adam, lr: !!float 4e-4, weight_decay: 0, betas: [0.9, 0.99]}}
+  scheduler: {{type: MultiStepLR, milestones: [2], gamma: 0.5}}
+  total_iter: {total_iter}
+  warmup_iter: -1
+  pixel_opt: {{type: L1Loss, loss_weight: 1.0, reduction: mean}}
+  gan_opt: {{type: GANLoss, gan_type: hinge, real_label_val: 1.0,
+            fake_label_val: 0.0, loss_weight: 0.1}}
+  codebook_opt: {{loss_weight: 1.0}}
+  net_d_iters: 1
+  net_d_init_iters: !!float 0
+val:
+  val_freq: !!float 1e9
+  save_img: false
+  key_metric: psnr
+  metrics:
+    psnr: {{type: psnr, crop_border: 4, test_y_channel: true}}
+logger:
+  print_freq: 1
+  save_checkpoint_freq: 2
+  save_latest_freq: !!float 1e9
+  use_tb_logger: false
+""")
+
+
+def _mk_model(opt, exp_root):
+    opt = dict(opt)
+    opt.update({'is_train': True, 'dist': False, 'rank': 0, 'world_size': 1,
+                'num_gpu': 1})
+    for phase, d in opt['datasets'].items():
+        d['phase'] = phase
+        d['scale'] = opt['scale']
+    opt['path'].update({
+        'models': os.path.join(exp_root, 'models'),
+        'training_states': os.path.join(exp_root, 'training_states'),
+        'visualization': os.path.join(exp_root, 'vis'),
+    })
+    from femasr_tpu.train import build_model
+    return build_model(opt), opt
+
+
+@pytest.fixture(scope='module')
+def hq_run(data_root, tmp_path_factory):
+    exp = str(tmp_path_factory.mktemp('hq_exp'))
+    opt = _base_opt(data_root, 'hq')
+    # HQ stage consumes GT directly
+    model, opt = _mk_model(opt, exp)
+    batch = {'lq': np.random.rand(1, 16, 16, 3).astype(np.float32),
+             'gt': np.random.rand(1, 64, 64, 3).astype(np.float32)}
+    logs = []
+    for it in range(1, 4):
+        model.feed_data(batch)
+        model.optimize_parameters(it)
+        logs.append(model.get_current_log())
+    model.save(epoch=0, current_iter=3)
+    return model, opt, logs, exp
+
+
+def test_hq_step_losses_finite_and_evolving(hq_run):
+    _, _, logs, _ = hq_run
+    for log in logs:
+        for k, v in log.items():
+            assert np.isfinite(v), f'{k} not finite: {v}'
+    assert 'l_codebook' in logs[0] and 'l_pix' in logs[0]
+    assert 'l_d_real' in logs[0]
+    # params are actually updating -> pixel loss changes between steps
+    assert logs[0]['l_pix'] != logs[2]['l_pix']
+
+
+def test_checkpoint_roundtrip_and_resume(hq_run):
+    model, opt, _, exp = hq_run
+    state_path = os.path.join(exp, 'training_states', '3.state')
+    assert os.path.exists(state_path)
+    assert os.path.exists(os.path.join(exp, 'models', 'net_g_3.ckpt'))
+
+    model2, _ = _mk_model(opt, exp)
+    resumed = model2.resume_training(state_path)
+    assert resumed['iter'] == 3
+    a = jax.tree.leaves(model.state.params_g)[0]
+    b = jax.tree.leaves(model2.state.params_g)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(np.asarray(model2.state.step)) == int(np.asarray(model.state.step))
+
+
+def test_lq_stage_freezes_prior_modules(hq_run, data_root, tmp_path_factory):
+    _, _, _, hq_exp = hq_run
+    exp = str(tmp_path_factory.mktemp('lq_exp'))
+    opt = _base_opt(data_root, 'lq')
+    opt['network_g']['LQ_stage'] = True
+    opt['network_g']['scale_factor'] = 4
+    opt['network_g']['frozen_module_keywords'] = [
+        'quantize', 'decoder', 'after_quant_group', 'out_conv']
+    opt['path']['pretrain_network_hq'] = os.path.join(hq_exp, 'models',
+                                                      'net_g_3.ckpt')
+    model, _ = _mk_model(opt, exp)
+
+    from flax.traverse_util import flatten_dict
+    before = {k: np.asarray(v) for k, v in flatten_dict(
+        jax.tree.map(np.asarray, model.state.params_g), sep='/').items()}
+
+    batch = {'lq': np.random.rand(1, 16, 16, 3).astype(np.float32),
+             'gt': np.random.rand(1, 64, 64, 3).astype(np.float32)}
+    for it in range(1, 3):
+        model.feed_data(batch)
+        model.optimize_parameters(it)
+
+    after = flatten_dict(jax.tree.map(np.asarray, model.state.params_g),
+                         sep='/')
+    frozen_kw = opt['network_g']['frozen_module_keywords']
+    moved_frozen = [k for k, v in after.items()
+                    if any(kw in k for kw in frozen_kw)
+                    and not np.array_equal(v, before[k])]
+    assert not moved_frozen, f'frozen params moved: {moved_frozen[:3]}'
+    moved_train = [k for k, v in after.items()
+                   if not any(kw in k for kw in frozen_kw)
+                   and not np.array_equal(v, before[k])]
+    assert moved_train, 'no trainable params moved'
+    assert 'l_codebook' in model.get_current_log()
+
+
+def test_lr_schedulers_match_reference():
+    torch = pytest.importorskip('torch')
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from reference_shim import load_reference_module
+    ref_sched = load_reference_module('basicsr.models.lr_scheduler')
+
+    from femasr_tpu.train import (cosine_annealing_restart_lr, multi_step_lr,
+                                  multi_step_restart_lr)
+
+    base_lr = 1e-4
+    param = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([param], lr=base_lr)
+
+    # MultiStepRestartLR
+    tsched = ref_sched.MultiStepRestartLR(opt, milestones=[5, 9], gamma=0.5,
+                                          restarts=[12],
+                                          restart_weights=[0.7])
+    ours = multi_step_restart_lr(base_lr, [5, 9], 0.5, [12], [0.7])
+    for step in range(20):
+        ref_lr = opt.param_groups[0]['lr']
+        np.testing.assert_allclose(float(ours(step)), ref_lr, rtol=1e-6,
+                                   err_msg=f'step {step}')
+        opt.step()
+        tsched.step()
+
+    # CosineAnnealingRestartLR
+    opt2 = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    tsched2 = ref_sched.CosineAnnealingRestartLR(
+        opt2, periods=[8, 12], restart_weights=[1, 0.5], eta_min=1e-7)
+    ours2 = cosine_annealing_restart_lr(base_lr, [8, 12], [1, 0.5], 1e-7)
+    for step in range(20):
+        ref_lr = opt2.param_groups[0]['lr']
+        np.testing.assert_allclose(float(ours2(step)), ref_lr, rtol=1e-5,
+                                   err_msg=f'step {step}')
+        opt2.step()
+        tsched2.step()
+
+    # plain MultiStepLR (torch)
+    opt3 = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    tsched3 = torch.optim.lr_scheduler.MultiStepLR(opt3, milestones=[3, 7],
+                                                   gamma=0.1)
+    ours3 = multi_step_lr(base_lr, [3, 7], 0.1)
+    for step in range(10):
+        ref_lr = opt3.param_groups[0]['lr']
+        np.testing.assert_allclose(float(ours3(step)), ref_lr, rtol=1e-6,
+                                   err_msg=f'step {step}')
+        opt3.step()
+        tsched3.step()

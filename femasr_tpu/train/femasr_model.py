@@ -269,16 +269,26 @@ class FeMaSRModel(BaseModel):
             self.tx_g = adam_g
         self.tx_d = _adam_from_opt(train_opt['optim_d'], self.sched_d)
 
-        self.state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params_g=self.params_g,
-            opt_g=self.tx_g.init(self.params_g),
-            params_d=self.params_d,
-            opt_d=self.tx_d.init(self.params_d),
-            spectral=self.spectral,
-            rng=self.rng)
-        # params live replicated on the mesh; batch is sharded over 'data'
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        # place parameters on the mesh: tensor-parallel layout when a 'model'
+        # axis exists (qkv/fc Megatron split + codebook axis), replicated
+        # otherwise; optimizer moments inherit the same shardings via jit.
+        from ..parallel.mesh import shard_params
+        tp = self.mesh.shape.get('model', 1) > 1
+        with self.mesh:
+            self.params_g = shard_params(self.mesh, self.params_g, tp)
+            self.params_d = shard_params(self.mesh, self.params_d, False)
+            self.spectral = shard_params(self.mesh, self.spectral, False)
+            if self.params_hq is not None:
+                self.params_hq = shard_params(self.mesh, self.params_hq, tp)
+            self.state = TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32),
+                                    replicated(self.mesh)),
+                params_g=self.params_g,
+                opt_g=jax.jit(self.tx_g.init)(self.params_g),
+                params_d=self.params_d,
+                opt_d=jax.jit(self.tx_d.init)(self.params_d),
+                spectral=self.spectral,
+                rng=jax.device_put(self.rng, replicated(self.mesh)))
         self._train_step = self._build_train_step()
 
     # ------------------------------------------------------------------

@@ -28,6 +28,36 @@ def _read_rgb(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
 
+class ImageSource:
+    """Uniform image access over a folder tree or a native .fmrs shard.
+
+    Folder roots scan recursively (reference make_dataset); `.fmrs` roots use
+    the mmap'd native shard store (femasr_tpu/native) — the LMDB-backend
+    analogue with decode-free reads.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        if root.endswith('.fmrs'):
+            from ..native import ShardStoreReader
+            self._reader = ShardStoreReader(root)
+            self._paths = [f'{root}:{k}' for k in self._reader.keys()]
+        else:
+            self._reader = None
+            self._paths = make_dataset(root)
+
+    def __len__(self) -> int:
+        return len(self._paths)
+
+    def path(self, idx: int) -> str:
+        return self._paths[idx]
+
+    def get(self, idx: int) -> np.ndarray:
+        if self._reader is not None:
+            return self._reader.read(idx).astype(np.float32) / 255.0
+        return _read_rgb(self._paths[idx])
+
+
 def random_resize(img: np.ndarray, scale_factor: float = 1.0) -> np.ndarray:
     return cv2.resize(img, None, fx=scale_factor, fy=scale_factor,
                       interpolation=cv2.INTER_CUBIC)
@@ -39,17 +69,17 @@ class PairedImageDataset:
 
     def __init__(self, opt: dict):
         self.opt = opt
-        self.gt_paths = make_dataset(opt['dataroot_gt'])
-        self.lq_paths = make_dataset(opt['dataroot_lq'])
+        self.gt_src = ImageSource(opt['dataroot_gt'])
+        self.lq_src = ImageSource(opt['dataroot_lq'])
 
     def __len__(self) -> int:
-        return len(self.gt_paths)
+        return len(self.gt_src)
 
     def __getitem__(self, index: int) -> Dict:
-        gt_path = self.gt_paths[index]
-        lq_path = self.lq_paths[index]
-        img_gt = _read_rgb(gt_path)
-        img_lq = _read_rgb(lq_path)
+        gt_path = self.gt_src.path(index)
+        lq_path = self.lq_src.path(index)
+        img_gt = self.gt_src.get(index)
+        img_lq = self.lq_src.get(index)
 
         if self.opt['phase'] == 'train':
             input_gt_size = img_gt.shape[0]
@@ -89,15 +119,15 @@ class BSRGANTrainDataset:
 
     def __init__(self, opt: dict):
         self.opt = opt
-        self.gt_paths = make_dataset(opt['dataroot_gt'])
+        self.gt_src = ImageSource(opt['dataroot_gt'])
 
     def __len__(self) -> int:
-        return len(self.gt_paths)
+        return len(self.gt_src)
 
     def __getitem__(self, index: int) -> Dict:
         scale = self.opt['scale']
-        gt_path = self.gt_paths[index]
-        img_gt = _read_rgb(gt_path)
+        gt_path = self.gt_src.path(index)
+        img_gt = self.gt_src.get(index)
         gt_size = self.opt['gt_size']
 
         if self.opt['phase'] == 'train':
@@ -107,6 +137,14 @@ class BSRGANTrainDataset:
                 resize_factor = input_gt_random_size / input_gt_size
                 img_gt = random_resize(img_gt, resize_factor)
             img_gt = random_crop(img_gt, gt_size)
+
+        if self.opt.get('on_device_degradation', False):
+            # LQ synthesized on TPU inside the jitted train step
+            # (ops/degradations_jax.py); ship the GT crop only.
+            img_gt = augment(img_gt, self.opt.get('use_flip', False),
+                             self.opt.get('use_rot', False))
+            return {'gt': np.ascontiguousarray(img_gt),
+                    'lq_path': gt_path, 'gt_path': gt_path}
 
         img_lq, img_gt = degradation_bsrgan(
             img_gt, sf=scale, lq_patchsize=gt_size // scale, use_crop=False)

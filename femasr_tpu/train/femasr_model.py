@@ -234,6 +234,9 @@ class FeMaSRModel(BaseModel):
                                    'DISABLED for this run.')
         self.cri_gan: GANLoss = build_loss(train_opt['gan_opt'])
         self.use_dis = train_opt['gan_opt']['loss_weight'] != 0
+        self.degrade_on_device = bool(
+            (opt.get('datasets', {}).get('train', {}) or {}).get(
+                'on_device_degradation', False))
         self.fixed_disc = train_opt.get('fixed_disc', False)
         self.net_d_iters = train_opt.get('net_d_iters', 1)
         self.net_d_init_iters = int(train_opt.get('net_d_init_iters', 0))
@@ -312,8 +315,15 @@ class FeMaSRModel(BaseModel):
                                                 vgg_type='vgg19',
                                                 dtype=net_g.dtype)
 
+        degrade_on_device = self.degrade_on_device
+        scale = self.scale
+
         def train_step(state: TrainState, lq, gt, params_hq):
-            rng, _ = jax.random.split(state.rng)
+            rng, step_key = jax.random.split(state.rng)
+            if degrade_on_device and lq_stage:
+                # on-TPU BSRGAN synthesis fused into the training program
+                from ..ops.degradations_jax import degradation_bsrgan_jax
+                lq, gt = degradation_bsrgan_jax(step_key, gt, sf=scale)
             # reference gating: `current_iter > net_d_init_iters` with
             # current_iter starting at 1 (femasr_model.py:186,197)
             gan_gate = (jnp.asarray(state.step + 1 > net_d_init_iters,

@@ -18,7 +18,7 @@ def test_vq_argmin_matches_xla(n, k, c):
     z = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
     cb = jnp.asarray(rng.normal(size=(k, c)).astype(np.float32))
     ref = nearest_code_indices(z, cb, backend='xla')
-    ours = vq_argmin(z, cb, tn=128, tk=128, interpret=True)
+    ours = vq_argmin(z, cb, tn=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
 
 
@@ -26,7 +26,7 @@ def test_vq_argmin_tie_breaking():
     # duplicate codes: first index must win, like torch/jnp argmin
     cb = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (2, 1)))  # (8, 4)
     z = jnp.asarray(np.eye(4, dtype=np.float32))
-    out = vq_argmin(z, cb, tn=8, tk=8, interpret=True)
+    out = vq_argmin(z, cb, tn=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), [0, 1, 2, 3])
 
 
@@ -49,3 +49,12 @@ def test_vq_argmin_in_quantizer_path():
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
     np.testing.assert_allclose(np.asarray(z_q_p), np.asarray(z_q_x))
     np.testing.assert_allclose(float(loss_p), float(loss_x))
+
+
+def test_vq_argmin_chunked_codebook():
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.normal(size=(200, 64)).astype(np.float32))
+    cb = jnp.asarray(rng.normal(size=(1024, 64)).astype(np.float32))
+    ref = nearest_code_indices(z, cb, backend='xla')
+    ours = vq_argmin(z, cb, tn=128, max_codes_vmem=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))

@@ -9,10 +9,14 @@ from ..utils.registry import ARCH_REGISTRY
 from .discriminator_arch import SpectralConv, UNetDiscriminatorSN
 from .femasr_arch import (CHANNEL_QUERY_DICT, DecoderBlock, EncoderDownBlock,
                           EncoderUpBlock, FeMaSRNet, MultiScaleEncoder)
+from .swinir_arch import SwinIR, pixel_shuffle, pixel_unshuffle
+from .vgg_arch import VGGFeatureExtractor, convert_vgg_checkpoint
 
-__all__ = ['build_network', 'FeMaSRNet', 'UNetDiscriminatorSN',
+__all__ = ['build_network', 'FeMaSRNet', 'UNetDiscriminatorSN', 'SwinIR',
            'SpectralConv', 'MultiScaleEncoder', 'DecoderBlock',
-           'EncoderDownBlock', 'EncoderUpBlock', 'CHANNEL_QUERY_DICT']
+           'EncoderDownBlock', 'EncoderUpBlock', 'CHANNEL_QUERY_DICT',
+           'VGGFeatureExtractor', 'convert_vgg_checkpoint', 'pixel_shuffle',
+           'pixel_unshuffle']
 
 
 def build_network(opt):

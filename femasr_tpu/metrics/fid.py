@@ -1,0 +1,85 @@
+"""FID (Frechet Inception Distance) computation.
+
+Parity target: /root/reference/scripts/metrics/calculate_fid.py (vestigial in
+the reference — it imports a missing `basicsr.archs.inception`). The Frechet
+distance and feature-statistics machinery here are complete; the feature
+extractor is pluggable (`feature_fn(batch_nhwc) -> (B, D)`): InceptionV3
+weights are not redistributable offline, so a converted-VGG16 extractor
+(models/vgg_arch.py) or any user-provided backbone slots in.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+from scipy import linalg
+
+
+def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray,
+                     sigma2: np.ndarray, eps: float = 1e-6) -> float:
+    """||mu1 - mu2||^2 + Tr(S1 + S2 - 2 sqrt(S1 S2))."""
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def feature_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = np.mean(features, axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, sigma
+
+
+def extract_features(folder: str, feature_fn: Callable, batch_size: int = 8,
+                     size: int = 299) -> np.ndarray:
+    """Run `feature_fn` over all images in a folder (resized to `size`)."""
+    import cv2
+
+    from ..data.data_util import make_dataset
+    feats = []
+    batch = []
+    for p in make_dataset(folder):
+        img = cv2.imread(p, cv2.IMREAD_COLOR)
+        if img is None:
+            continue
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.
+        rgb = cv2.resize(rgb, (size, size), interpolation=cv2.INTER_AREA)
+        batch.append(rgb)
+        if len(batch) == batch_size:
+            feats.append(np.asarray(feature_fn(np.stack(batch))))
+            batch = []
+    if batch:
+        feats.append(np.asarray(feature_fn(np.stack(batch))))
+    return np.concatenate(feats, axis=0)
+
+
+def vgg_feature_fn(vgg_params, layer: str = 'relu5_3',
+                   vgg_type: str = 'vgg16') -> Callable:
+    """Spatially-pooled VGG features as an FID backbone."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vgg_arch import VGGFeatureExtractor
+    extractor = VGGFeatureExtractor(layer_name_list=[layer],
+                                    vgg_type=vgg_type)
+
+    @jax.jit
+    def fn(batch):
+        feats = extractor.apply({'params': vgg_params},
+                                jnp.asarray(batch))[layer]
+        return jnp.mean(feats, axis=(1, 2))
+
+    return fn
+
+
+def calculate_fid(folder1: str, folder2: str, feature_fn: Callable,
+                  batch_size: int = 8) -> float:
+    f1 = extract_features(folder1, feature_fn, batch_size)
+    f2 = extract_features(folder2, feature_fn, batch_size)
+    return frechet_distance(*feature_statistics(f1), *feature_statistics(f2))

@@ -1,0 +1,148 @@
+"""NIQE (Natural Image Quality Evaluator) — complete native implementation.
+
+Parity target: the reference ships scripts/metrics/calculate_niqe.py but it
+imports a missing `basicsr.metrics` (SURVEY.md §2.8 — broken/vestigial).
+Here NIQE is implemented end-to-end: MSCN coefficients, GGD/AGGD feature
+fitting, multiscale 96x96 block features, and the Mahalanobis-style distance
+to a pristine multivariate-Gaussian model. Because the standard pristine
+parameters ship as a binary blob we cannot redistribute, `fit_niqe_params`
+re-derives them from any folder of pristine images.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import cv2
+import numpy as np
+
+_GAMMA_RANGE = np.arange(0.2, 10.001, 0.001)
+_GAMMA_LOOKUP = (np.square(np.vectorize(math.gamma)(2.0 / _GAMMA_RANGE))
+                 / (np.vectorize(math.gamma)(1.0 / _GAMMA_RANGE)
+                    * np.vectorize(math.gamma)(3.0 / _GAMMA_RANGE)))
+
+
+def estimate_ggd_param(vec: np.ndarray) -> Tuple[float, float]:
+    """Generalized Gaussian distribution (alpha, sigma) moment estimate."""
+    sigma_sq = np.mean(vec ** 2)
+    sigma = math.sqrt(sigma_sq)
+    e = np.mean(np.abs(vec))
+    rho = sigma_sq / (e ** 2 + 1e-12)
+    idx = np.argmin(np.abs(_GAMMA_LOOKUP - 1.0 / (rho + 1e-12)))
+    return float(_GAMMA_RANGE[idx]), sigma
+
+
+def estimate_aggd_param(vec: np.ndarray) -> Tuple[float, float, float]:
+    """Asymmetric GGD (alpha, beta_l, beta_r) estimate."""
+    left = vec[vec < 0]
+    right = vec[vec >= 0]
+    sigma_l = math.sqrt(np.mean(left ** 2)) if left.size else 1e-6
+    sigma_r = math.sqrt(np.mean(right ** 2)) if right.size else 1e-6
+    gamma_hat = sigma_l / (sigma_r + 1e-12)
+    e = np.mean(np.abs(vec))
+    rho = np.mean(vec ** 2) / (e ** 2 + 1e-12)
+    rho_hat = rho * (gamma_hat ** 3 + 1) * (gamma_hat + 1) / (
+        (gamma_hat ** 2 + 1) ** 2)
+    idx = np.argmin((_GAMMA_LOOKUP - 1.0 / (rho_hat + 1e-12)) ** 2)
+    alpha = float(_GAMMA_RANGE[idx])
+    g1 = math.gamma(1 / alpha)
+    g2 = math.gamma(2 / alpha)
+    g3 = math.gamma(3 / alpha)
+    beta_l = sigma_l * math.sqrt(g1 / g3)
+    beta_r = sigma_r * math.sqrt(g1 / g3)
+    del g2
+    return alpha, beta_l, beta_r
+
+
+def _mscn(img: np.ndarray) -> np.ndarray:
+    """Mean-subtracted contrast-normalized coefficients (7x7 Gaussian)."""
+    mu = cv2.GaussianBlur(img, (7, 7), 7 / 6)
+    sigma = np.sqrt(np.abs(cv2.GaussianBlur(img * img, (7, 7), 7 / 6)
+                           - mu * mu))
+    return (img - mu) / (sigma + 1.0)
+
+
+def _block_features(mscn: np.ndarray) -> np.ndarray:
+    """18 NSS features for one block: GGD of MSCN + AGGD of 4 pairwise
+    products."""
+    feats = []
+    alpha, sigma = estimate_ggd_param(mscn.flatten())
+    feats += [alpha, sigma ** 2]
+    shifts = [(0, 1), (1, 0), (1, 1), (1, -1)]
+    for dy, dx in shifts:
+        shifted = np.roll(np.roll(mscn, dy, axis=0), dx, axis=1)
+        pair = (mscn * shifted).flatten()
+        alpha, beta_l, beta_r = estimate_aggd_param(pair)
+        g1 = math.gamma(1 / alpha)
+        g2 = math.gamma(2 / alpha)
+        mean = (beta_r - beta_l) * (g2 / g1)
+        feats += [alpha, mean, beta_l ** 2, beta_r ** 2]
+    return np.asarray(feats, np.float64)
+
+
+def niqe_features(img_gray: np.ndarray, block: int = 96) -> np.ndarray:
+    """(n_blocks, 36) multiscale NSS features of a [0,255] grayscale image."""
+    h, w = img_gray.shape
+    nbh, nbw = h // block, w // block
+    img_gray = img_gray[:nbh * block, :nbw * block].astype(np.float64)
+
+    feats_scales = []
+    cur = img_gray
+    for scale in range(2):
+        mscn = _mscn(cur)
+        b = block // (2 ** scale)
+        feats = []
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = mscn[by * b:(by + 1) * b, bx * b:(bx + 1) * b]
+                feats.append(_block_features(blk))
+        feats_scales.append(np.stack(feats))
+        if scale == 0:
+            cur = cv2.resize(cur, (cur.shape[1] // 2, cur.shape[0] // 2),
+                             interpolation=cv2.INTER_AREA)
+    return np.concatenate(feats_scales, axis=1)
+
+
+def calculate_niqe(img: np.ndarray, mu_pris: np.ndarray,
+                   cov_pris: np.ndarray, crop_border: int = 0,
+                   **kwargs) -> float:
+    """NIQE score of a [0,1] HWC RGB (or HW gray) image; lower is better."""
+    from ..utils.matlab_functions import rgb2ycbcr
+    if img.ndim == 3 and img.shape[2] == 3:
+        gray = rgb2ycbcr(img.astype(np.float32), y_only=True)
+    else:
+        gray = img
+    gray = np.asarray(gray, np.float64) * 255.0
+    if crop_border:
+        gray = gray[crop_border:-crop_border, crop_border:-crop_border]
+
+    feats = niqe_features(gray)
+    mu_img = np.nanmean(feats, axis=0)
+    diff = feats - mu_img
+    mask = ~np.isnan(diff).any(axis=1)
+    cov_img = np.cov(feats[mask].T)
+    cov = (cov_pris + cov_img) / 2.0
+    inv = np.linalg.pinv(cov)
+    d = mu_pris - mu_img
+    return float(math.sqrt(max(d @ inv @ d, 0.0)))
+
+
+def fit_niqe_params(pristine_dir: str, block: int = 96
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Fit the pristine MVG (mu, cov) from a folder of high-quality images."""
+    from ..data.data_util import make_dataset
+    from ..utils.matlab_functions import rgb2ycbcr
+    all_feats = []
+    for p in make_dataset(pristine_dir):
+        img = cv2.imread(p, cv2.IMREAD_COLOR)
+        if img is None:
+            continue
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.
+        gray = np.asarray(rgb2ycbcr(rgb, y_only=True), np.float64) * 255.0
+        if gray.shape[0] < block or gray.shape[1] < block:
+            continue
+        all_feats.append(niqe_features(gray, block))
+    feats = np.concatenate(all_feats, axis=0)
+    feats = feats[~np.isnan(feats).any(axis=1)]
+    return feats.mean(axis=0), np.cov(feats.T)

@@ -1,0 +1,28 @@
+#!/usr/bin/env python
+"""Pack image folders into FMRS shard archives for fast training I/O.
+
+Parity: /root/reference/scripts/data_preparation/create_lmdb.py (LMDB is
+replaced by the native mmap shard store).
+
+Usage:
+    python scripts/data_preparation/create_shard.py \
+        --input ../datasets/HQ_sub --output ../datasets/HQ_sub.fmrs
+"""
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--input', type=str, required=True)
+    parser.add_argument('--output', type=str, required=True,
+                        help='output .fmrs path')
+    args = parser.parse_args()
+
+    from femasr_tpu.native import make_shard_from_folder
+    n = make_shard_from_folder(args.input, args.output)
+    print(f'packed {n} images into {args.output}')
+
+
+if __name__ == '__main__':
+    main()

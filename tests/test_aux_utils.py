@@ -1,0 +1,145 @@
+"""Auxiliary surface tests: arch_util, USM, flow I/O, NIQE, FID, converters."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_residual_block_no_bn():
+    from femasr_tpu.ops.arch_util import ResidualBlockNoBN
+    blk = ResidualBlockNoBN(num_feat=16)
+    x = jnp.zeros((1, 8, 8, 16))
+    params = blk.init(jax.random.PRNGKey(0), x)
+    out = blk.apply(params, jnp.ones((2, 8, 8, 16)))
+    assert out.shape == (2, 8, 8, 16)
+
+
+def test_flow_warp_identity_and_shift():
+    from femasr_tpu.ops.arch_util import flow_warp
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 6, 7, 3), dtype=np.float32))
+    zero_flow = jnp.zeros((1, 6, 7, 2))
+    np.testing.assert_allclose(np.asarray(flow_warp(x, zero_flow)),
+                               np.asarray(x), atol=1e-6)
+    # shift by exactly +1 in x: output[y, x] = input[y, x+1]
+    flow = jnp.zeros((1, 6, 7, 2)).at[..., 0].set(1.0)
+    out = np.asarray(flow_warp(x, flow))
+    np.testing.assert_allclose(out[0, :, :-1], np.asarray(x)[0, :, 1:],
+                               atol=1e-6)
+    np.testing.assert_allclose(out[0, :, -1], 0.0, atol=1e-6)  # zero pad
+
+
+def test_usm_sharp_increases_contrast():
+    import cv2
+    from femasr_tpu.utils.img_process_util import usm_sharp
+    rng = np.random.default_rng(1)
+    base = rng.random((8, 8, 3)).astype(np.float32)
+    img = cv2.resize(base, (64, 64), interpolation=cv2.INTER_CUBIC).clip(0, 1)
+    out = np.asarray(usm_sharp(jnp.asarray(img)[None], radius=13)[0])
+    assert out.shape == img.shape
+
+    def grad_energy(a):
+        return float(np.mean(np.abs(np.diff(a, axis=0))))
+
+    assert grad_energy(out) > grad_energy(img)
+
+
+def test_flow_io_roundtrip(tmp_path):
+    from femasr_tpu.utils.flow_util import flowread, flowwrite
+    rng = np.random.default_rng(2)
+    flow = rng.normal(size=(6, 8, 2)).astype(np.float32)
+    path = str(tmp_path / 'test.flo')
+    flowwrite(flow, path)
+    back = flowread(path)
+    np.testing.assert_allclose(back, flow, atol=1e-6)
+
+
+def test_niqe_orders_quality():
+    """NIQE fit on pristine-like images must score noisy images worse."""
+    import cv2
+    from femasr_tpu.metrics.niqe import calculate_niqe, niqe_features
+    rng = np.random.default_rng(3)
+
+    def smooth_img(seed, size=192):
+        r = np.random.default_rng(seed)
+        base = r.random((12, 12, 3)).astype(np.float32)
+        return cv2.resize(base, (size, size),
+                          interpolation=cv2.INTER_CUBIC).clip(0, 1)
+
+    # fit pristine stats from several clean images
+    from femasr_tpu.utils.matlab_functions import rgb2ycbcr
+    feats = []
+    for s in range(6):
+        g = np.asarray(rgb2ycbcr(smooth_img(s), y_only=True), np.float64) * 255
+        feats.append(niqe_features(g))
+    feats = np.concatenate(feats, 0)
+    mu, cov = feats.mean(0), np.cov(feats.T)
+
+    clean = smooth_img(100)
+    noisy = np.clip(clean + rng.normal(0, 0.25, clean.shape), 0, 1).astype(
+        np.float32)
+    s_clean = calculate_niqe(clean, mu, cov)
+    s_noisy = calculate_niqe(noisy, mu, cov)
+    assert np.isfinite(s_clean) and np.isfinite(s_noisy)
+    assert s_noisy > s_clean
+
+
+def test_frechet_distance_properties():
+    from femasr_tpu.metrics.fid import feature_statistics, frechet_distance
+    rng = np.random.default_rng(4)
+    f1 = rng.normal(size=(200, 16))
+    f2 = rng.normal(loc=2.0, size=(200, 16))
+    mu1, s1 = feature_statistics(f1)
+    mu2, s2 = feature_statistics(f2)
+    assert frechet_distance(mu1, s1, mu1, s1) < 1e-6
+    assert frechet_distance(mu1, s1, mu2, s2) > 10
+
+
+def test_checkpoint_roundtrip_torch_layout():
+    """flax -> torch-layout -> flax roundtrip preserves values."""
+    torch = pytest.importorskip('torch')
+    from femasr_tpu.models import FeMaSRNet
+    from femasr_tpu.models.convert import (convert_femasr_checkpoint,
+                                           femasr_param_mapping)
+    from flax.traverse_util import flatten_dict
+
+    net = FeMaSRNet(codebook_params=[[32, 32, 64]], LQ_stage=False)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3)))['params']
+    flat = flatten_dict(params)
+
+    mapping = femasr_param_mapping(codebook_params=[[32, 32, 64]],
+                                   LQ_stage=False)
+    sd = {}
+    for path, (tkey, transform) in mapping.items():
+        arr = np.asarray(flat[path])
+        if transform.__name__ == '_conv_w':
+            arr = arr.transpose(3, 2, 0, 1)
+        elif transform.__name__ == '_lin_w':
+            arr = arr.T
+        sd[tkey] = arr
+    back = convert_femasr_checkpoint(sd, codebook_params=[[32, 32, 64]],
+                                     LQ_stage=False)
+    back_flat = flatten_dict(back)
+    assert set(back_flat) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(np.asarray(flat[k]), back_flat[k])
+
+
+def test_lmdb_util_shard_alias(tmp_path):
+    import cv2
+    from femasr_tpu.native import ShardStoreReader
+    from femasr_tpu.utils.lmdb_util import make_lmdb_from_imgs
+    rng = np.random.default_rng(5)
+    src = tmp_path / 'imgs'
+    src.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(src / f'x{i}.png'),
+                    (rng.random((24, 24, 3)) * 255).astype(np.uint8))
+    out = make_lmdb_from_imgs(str(src), str(tmp_path / 'pack.lmdb'))
+    assert out.endswith('.fmrs')
+    r = ShardStoreReader(out)
+    assert len(r) == 2
+    assert (tmp_path / 'pack.fmrs.meta_info.txt').exists()

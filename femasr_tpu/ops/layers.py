@@ -36,15 +36,20 @@ class GroupNorm(nn.Module):
         scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
 
-        xf = x.astype(jnp.float32)
         b = x.shape[0]
-        grouped = xf.reshape(b, -1, self.num_groups, c // self.num_groups)
-        mean = grouped.mean(axis=(1, 3), keepdims=True)
-        var = grouped.var(axis=(1, 3), keepdims=True)
-        normed = (grouped - mean) * jax.lax.rsqrt(var + self.eps)
-        normed = normed.reshape(xf.shape)
-        out = normed * scale + bias
-        return out.astype(self.dtype)
+        g = self.num_groups
+        # statistics in f32 (bf16-safe), normalization applied in the compute
+        # dtype so no f32 activation tensors materialize in HBM
+        xf = x.reshape(b, -1, g, c // g).astype(jnp.float32)
+        mean = xf.mean(axis=(1, 3))                        # (B, G)
+        var = xf.var(axis=(1, 3))                          # (B, G)
+        inv = jax.lax.rsqrt(var + self.eps)                # (B, G)
+        mean_c = jnp.repeat(mean, c // g, axis=1)          # (B, C)
+        inv_c = jnp.repeat(inv, c // g, axis=1)            # (B, C)
+        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        mul = (inv_c.reshape(shape) * scale).astype(self.dtype)
+        sub = mean_c.reshape(shape).astype(self.dtype)
+        return (x.astype(self.dtype) - sub) * mul + bias.astype(self.dtype)
 
 
 class InstanceNorm(nn.Module):

@@ -52,6 +52,7 @@ class TrainState(struct.PyTreeNode):
     opt_d: Any
     spectral: Any
     rng: jax.Array
+    params_g_ema: Any = None  # optional model EMA (base_model.py:85-92)
 
 
 def _frozen_mask_labels(params: Any, keywords) -> Any:
@@ -283,6 +284,7 @@ class FeMaSRModel(BaseModel):
             self.spectral = shard_params(self.mesh, self.spectral, False)
             if self.params_hq is not None:
                 self.params_hq = shard_params(self.mesh, self.params_hq, tp)
+            self.ema_decay = float(self.opt['train'].get('ema_decay', 0))
             self.state = TrainState(
                 step=jax.device_put(jnp.zeros((), jnp.int32),
                                     replicated(self.mesh)),
@@ -291,7 +293,9 @@ class FeMaSRModel(BaseModel):
                 params_d=self.params_d,
                 opt_d=jax.jit(self.tx_d.init)(self.params_d),
                 spectral=self.spectral,
-                rng=jax.device_put(self.rng, replicated(self.mesh)))
+                rng=jax.device_put(self.rng, replicated(self.mesh)),
+                params_g_ema=(jax.tree.map(jnp.copy, self.params_g)
+                              if self.ema_decay > 0 else None))
         self._train_step = self._build_train_step()
 
     # ------------------------------------------------------------------
@@ -317,6 +321,7 @@ class FeMaSRModel(BaseModel):
 
         degrade_on_device = self.degrade_on_device
         scale = self.scale
+        ema_decay = getattr(self, 'ema_decay', 0.0)
 
         def train_step(state: TrainState, lq, gt, params_hq):
             rng, step_key = jax.random.split(state.rng)
@@ -436,9 +441,17 @@ class FeMaSRModel(BaseModel):
                 loss_dict['out_d_real'] = out_d_real
                 loss_dict['out_d_fake'] = out_d_fake
 
+            params_g_ema = state.params_g_ema
+            if params_g_ema is not None:
+                decay = ema_decay
+                params_g_ema = jax.tree.map(
+                    lambda e, p: e * decay + p.astype(e.dtype) * (1 - decay),
+                    params_g_ema, params_g)
+
             new_state = state.replace(
                 step=state.step + 1, params_g=params_g, opt_g=opt_g,
-                params_d=params_d, opt_d=opt_d, spectral=spectral, rng=rng)
+                params_d=params_d, opt_d=opt_d, spectral=spectral, rng=rng,
+                params_g_ema=params_g_ema)
             aux = {'output': output}
             if gt_rec is not None:
                 aux['gt_rec'] = gt_rec
@@ -633,12 +646,14 @@ class FeMaSRModel(BaseModel):
         self.save_network({'params': self.state.params_d,
                            'spectral': self.state.spectral}, 'net_d',
                           current_iter, param_key='tree')
-        self.save_training_state(
-            {'opt_g': self.state.opt_g, 'opt_d': self.state.opt_d,
-             'params_g': self.state.params_g, 'params_d': self.state.params_d,
-             'spectral': self.state.spectral,
-             'step': self.state.step, 'rng': self.state.rng},
-            epoch, current_iter)
+        tree = {'opt_g': self.state.opt_g, 'opt_d': self.state.opt_d,
+                'params_g': self.state.params_g,
+                'params_d': self.state.params_d,
+                'spectral': self.state.spectral,
+                'step': self.state.step, 'rng': self.state.rng}
+        if self.state.params_g_ema is not None:
+            tree['params_g_ema'] = self.state.params_g_ema
+        self.save_training_state(tree, epoch, current_iter)
 
     def resume_training(self, state_path: str) -> Dict[str, int]:
         tree = self.resume_training_state(state_path)
@@ -648,12 +663,16 @@ class FeMaSRModel(BaseModel):
                   'params_d': self.state.params_d,
                   'spectral': self.state.spectral, 'step': self.state.step,
                   'rng': self.state.rng}
+        if self.state.params_g_ema is not None and 'params_g_ema' in saved:
+            target['params_g_ema'] = self.state.params_g_ema
         from flax import serialization
         restored = serialization.from_state_dict(target, saved)
         self.state = self.state.replace(
             step=jnp.asarray(restored['step']),
             params_g=restored['params_g'], opt_g=restored['opt_g'],
             params_d=restored['params_d'], opt_d=restored['opt_d'],
-            spectral=restored['spectral'], rng=jnp.asarray(restored['rng']))
+            spectral=restored['spectral'], rng=jnp.asarray(restored['rng']),
+            params_g_ema=restored.get('params_g_ema',
+                                      self.state.params_g_ema))
         self.state = jax.device_put(self.state, replicated(self.mesh))
         return {'epoch': int(tree['epoch']), 'iter': int(tree['iter'])}

@@ -150,8 +150,22 @@ def train_pipeline(root_path: str, argv=None):
             if current_iter > total_iters:
                 break
 
+            # jax.profiler trace window (observability parity, SURVEY.md §5;
+            # the reference has only AvgTimer — this captures full XLA traces)
+            prof_start = opt['logger'].get('profile_start_iter')
+            if prof_start is not None and current_iter == int(prof_start):
+                import jax
+                jax.profiler.start_trace(
+                    osp.join(opt['path']['log'], 'jax_trace'))
             model.feed_data(train_data)
             model.optimize_parameters(current_iter)
+            if prof_start is not None and current_iter == (
+                    int(prof_start)
+                    + int(opt['logger'].get('profile_steps', 5)) - 1):
+                import jax
+                jax.profiler.stop_trace()
+                logger.info('jax profiler trace written to '
+                            f"{osp.join(opt['path']['log'], 'jax_trace')}")
             iter_timer.record()
             if current_iter == 1:
                 msg_logger.reset_start_time()

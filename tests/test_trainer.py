@@ -230,3 +230,23 @@ def test_lr_schedulers_match_reference():
                                    err_msg=f'step {step}')
         opt3.step()
         tsched3.step()
+
+
+def test_lq_stage_on_device_degradation(hq_run, data_root, tmp_path_factory):
+    """Full LQ train step with LQ synthesized on-device inside the jit."""
+    _, _, _, hq_exp = hq_run
+    exp = str(tmp_path_factory.mktemp('lq_dev_exp'))
+    opt = _base_opt(data_root, 'lq_dev')
+    opt['datasets']['train']['on_device_degradation'] = True
+    opt['network_g']['LQ_stage'] = True
+    opt['network_g']['scale_factor'] = 4
+    opt['network_g']['frozen_module_keywords'] = ['quantize', 'decoder']
+    opt['path']['pretrain_network_hq'] = os.path.join(hq_exp, 'models',
+                                                      'net_g_3.ckpt')
+    model, _ = _mk_model(opt, exp)
+    batch = {'gt': np.random.rand(1, 64, 64, 3).astype(np.float32)}
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    log = model.get_current_log()
+    assert all(np.isfinite(v) for v in log.values()), log
+    assert model.output.shape == (1, 64, 64, 3)

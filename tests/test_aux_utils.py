@@ -143,3 +143,21 @@ def test_lmdb_util_shard_alias(tmp_path):
     r = ShardStoreReader(out)
     assert len(r) == 2
     assert (tmp_path / 'pack.fmrs.meta_info.txt').exists()
+
+
+def test_face_helper_warp_and_paste():
+    """Geometry path of FaceRestorationHelper with supplied landmarks."""
+    import cv2
+    from femasr_tpu.utils.face_util import (FACE_TEMPLATE_512,
+                                            FaceRestorationHelper)
+    rng = np.random.default_rng(6)
+    img = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+    helper = FaceRestorationHelper(upscale_factor=2, face_size=64)
+    # a synthetic "face": the template scaled into a 64px box at offset 30,20
+    lm = FACE_TEMPLATE_512 / 512 * 64 + np.array([30, 20], np.float32)
+    helper.add_face_landmarks(lm, img)
+    crops = helper.warp_crop_faces()
+    assert len(crops) == 1 and crops[0].shape == (64, 64, 3)
+    helper.add_restored_face(cv2.resize(crops[0], (64, 64)))
+    out = helper.paste_faces_to_input_image()
+    assert out.shape == (256, 256, 3)

@@ -124,6 +124,29 @@ class DataLoader:
             stop.set()
 
 
+class DevicePrefetcher:
+    """Wrap a loader to pre-stage the NEXT batch on device while the current
+    step runs (the CUDAPrefetcher analogue, prefetch_dataloader.py:79-125;
+    host->device copies overlap with async-dispatched jit steps)."""
+
+    def __init__(self, loader: 'DataLoader', put_fn):
+        self.loader = loader
+        self.put_fn = put_fn  # e.g. parallel.mesh.make_global_batch partial
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        it = iter(self.loader)
+        nxt = next(it, None)
+        nxt = self.put_fn(nxt) if nxt is not None else None
+        while nxt is not None:
+            cur = nxt
+            host_next = next(it, None)
+            nxt = self.put_fn(host_next) if host_next is not None else None
+            yield cur
+
+
 def build_dataloader(dataset, dataset_opt: dict, num_gpu: int = 1,
                      dist: bool = False, sampler=None, seed=None) -> DataLoader:
     """Create a train/val/test loader from YAML opts (data/__init__.py:40-94).

@@ -188,3 +188,35 @@ def test_val_loader_batches(img_tree):
     loader = build_dataloader(ds, opt)
     batch = next(iter(loader))
     assert batch['gt'].shape == (1, 160, 160, 3)
+
+
+def test_device_prefetcher_order():
+    from femasr_tpu.data.loader import DataLoader, DevicePrefetcher
+
+    class Dummy:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {'x': np.full((2, 2), i, np.float32)}
+
+    loader = DataLoader(Dummy(), batch_size=1, shuffle=False, num_workers=0)
+    staged = []
+    pref = DevicePrefetcher(loader, lambda b: (staged.append(True), b)[1])
+    vals = [int(b['x'][0, 0, 0]) for b in pref]
+    assert vals == [0, 1, 2, 3, 4]
+    assert len(staged) == 5
+
+
+def test_dist_util_surface():
+    from femasr_tpu.parallel import get_dist_info, master_only
+    rank, world = get_dist_info()
+    assert rank == 0 and world == 1
+    calls = []
+
+    @master_only
+    def record():
+        calls.append(1)
+
+    record()
+    assert calls == [1]

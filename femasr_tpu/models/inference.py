@@ -153,6 +153,41 @@ class SRInferencer:
                 k += 1
         return out[:, :h * s, :w * s]
 
+    # -- bucketed folder inference -------------------------------------------
+
+    def run_bucketed(self, imgs, bucket: int = 64, max_batch: int = 4):
+        """SR a list of HWC [0,1] images with few compilations.
+
+        TPU-first folder serving: images are flip-padded up to bucket-rounded
+        window-multiple shapes, grouped per bucket and run as batches — one
+        XLA program per bucket instead of one per distinct image size.
+        Returns outputs in input order.
+        """
+        bucket = max(bucket, self.wsz)
+        groups = {}
+        for i, img in enumerate(imgs):
+            h, w = img.shape[:2]
+            bh = math.ceil((h + 1) / bucket) * bucket
+            bw = math.ceil((w + 1) / bucket) * bucket
+            groups.setdefault((bh, bw), []).append(i)
+
+        outputs = [None] * len(imgs)
+        s = self.scale
+        for (bh, bw), idxs in groups.items():
+            for start in range(0, len(idxs), max_batch):
+                chunk = idxs[start:start + max_batch]
+                batch = []
+                for i in chunk:
+                    x = jnp.asarray(imgs[i], jnp.float32)[None]
+                    batch.append(flip_pad(x, bh - x.shape[1],
+                                          bw - x.shape[2]))
+                out = self._forward(self.params,
+                                    jnp.concatenate(batch, axis=0))
+                for j, i in enumerate(chunk):
+                    h, w = imgs[i].shape[:2]
+                    outputs[i] = np.asarray(out[j, :h * s, :w * s])
+        return outputs
+
     # -- dispatcher ---------------------------------------------------------
 
     def __call__(self, img: np.ndarray, max_size: int = 600,

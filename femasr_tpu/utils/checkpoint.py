@@ -48,3 +48,20 @@ def to_host(tree: Any) -> Any:
     """Device -> host numpy copy of a pytree."""
     import jax
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+# -- orbax backend (optional, for multi-host / async checkpointing) ---------
+
+def save_pytree_orbax(tree: Any, path: str) -> None:
+    """Orbax save (atomic, multi-host-aware). Directory-based checkpoints."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), to_host(tree), force=True)
+
+
+def load_pytree_orbax(path: str, target: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(os.path.abspath(path), item=target)
+    return ckptr.restore(os.path.abspath(path))

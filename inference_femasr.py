@@ -45,6 +45,9 @@ def main():
     parser.add_argument('--precision', type=str, default='bf16',
                         choices=['bf16', 'f32'],
                         help='Compute dtype on TPU (params stay f32)')
+    parser.add_argument('--bucket', type=int, default=0,
+                        help='>0: bucketed batched folder inference (pads '
+                             'shapes to multiples of this; few compiles)')
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -73,34 +76,61 @@ def main():
     if not paths:
         raise SystemExit(f'No images found under {args.input}')
 
-    for idx, path in enumerate(paths):
-        img_name = os.path.basename(path)
-        print(f'[{idx + 1}/{len(paths)}] Processing: {img_name}', flush=True)
+    def read_rgb(path):
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if img is None:
-            print(f'  ! cannot read {path}, skipping')
-            continue
+            return None
         if img.ndim == 2:
             img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
         if img.shape[2] == 4:
             img = img[:, :, :3]
-        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
-        t0 = time.time()
-        out = sr(rgb, max_size=args.max_size, tile_size=args.tile_size,
-                 tile_pad=args.tile_pad)
-        dt = time.time() - t0
-
+    def save(img_name, out):
         out_bgr = cv2.cvtColor(
             (np.clip(out, 0, 1) * 255.0).round().astype(np.uint8),
             cv2.COLOR_RGB2BGR)
         base, _ = os.path.splitext(img_name)
         suffix = f'_{args.suffix}' if args.suffix else ''
-        save_path = os.path.join(args.output, f'{base}{suffix}.png')
-        imwrite(out_bgr, save_path)
+        imwrite(out_bgr, os.path.join(args.output, f'{base}{suffix}.png'))
+
+    if args.bucket > 0:
+        # bucketed batched mode: few XLA programs for a whole folder
+        imgs, names = [], []
+        for path in paths:
+            rgb = read_rgb(path)
+            if rgb is None:
+                print(f'  ! cannot read {path}, skipping')
+                continue
+            imgs.append(rgb)
+            names.append(os.path.basename(path))
+        t0 = time.time()
+        outs = sr.run_bucketed(imgs, bucket=args.bucket,
+                               max_batch=args.tile_batch)
+        dt = time.time() - t0
+        for name, out in zip(names, outs):
+            save(name, out)
+        mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
+        print(f'{len(imgs)} images ({mp:.1f} MP input) in {dt:.1f}s '
+              f'({mp / dt:.2f} MP/s incl. compile)', flush=True)
+        return
+
+    for idx, path in enumerate(paths):
+        img_name = os.path.basename(path)
+        print(f'[{idx + 1}/{len(paths)}] Processing: {img_name}', flush=True)
+        rgb = read_rgb(path)
+        if rgb is None:
+            print(f'  ! cannot read {path}, skipping')
+            continue
+
+        t0 = time.time()
+        out = sr(rgb, max_size=args.max_size, tile_size=args.tile_size,
+                 tile_pad=args.tile_pad)
+        dt = time.time() - t0
+        save(img_name, out)
         mp = rgb.shape[0] * rgb.shape[1] / 1e6
         print(f'  {rgb.shape[1]}x{rgb.shape[0]} -> '
-              f'{out_bgr.shape[1]}x{out_bgr.shape[0]} in {dt:.2f}s '
+              f'{out.shape[1]}x{out.shape[0]} in {dt:.2f}s '
               f'({mp / dt:.2f} MP/s input)', flush=True)
 
 

@@ -76,3 +76,20 @@ def test_dispatcher_selects_paths():
     assert out.shape == (80, 96, 3)
     out2 = sr(img, max_size=16, tile_size=16, tile_pad=8)  # forced tiled path
     assert out2.shape == (80, 96, 3)
+
+
+def test_bucketed_folder_inference():
+    _, sr = _make_pair()
+    rng = np.random.default_rng(3)
+    imgs = [rng.random((20, 24, 3), dtype=np.float32),
+            rng.random((22, 20, 3), dtype=np.float32),  # same bucket
+            rng.random((40, 40, 3), dtype=np.float32)]  # different bucket
+    outs = sr.run_bucketed(imgs, bucket=32, max_batch=2)
+    assert [o.shape for o in outs] == [(80, 96, 3), (88, 80, 3),
+                                       (160, 160, 3)]
+    # bucketed result must match the per-image padded path
+    solo = np.asarray(sr.run_padded(jnp.asarray(imgs[0])[None])[0])
+    # same network, different padding context -> allow small border effects
+    h, w = 20 * 4, 24 * 4
+    diff = np.abs(outs[0][:h - 16, :w - 16] - solo[:h - 16, :w - 16])
+    assert np.median(diff) < 2e-2

@@ -116,6 +116,16 @@ def vector_quantize(z: jax.Array,
     return z_q_ste, codebook_loss, indices.reshape(b, h, w)
 
 
+def codebook_perplexity(indices: jax.Array, n_e: int) -> jax.Array:
+    """exp(entropy) of the code-usage distribution — codebook-utilization
+    telemetry (the collapse diagnostic from the VQGAN-scaling literature;
+    not in the reference, which never monitors codebook health)."""
+    counts = jnp.zeros((n_e,), jnp.float32).at[indices.reshape(-1)].add(1.0)
+    probs = counts / jnp.maximum(counts.sum(), 1.0)
+    entropy = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs), 0.0))
+    return jnp.exp(entropy)
+
+
 class VectorQuantizer(nn.Module):
     """Codebook module owning the (n_e, e_dim) embedding table.
 

@@ -352,7 +352,7 @@ class FeMaSRModel(BaseModel):
             gen_in = lq if lq_stage else gt
 
             def g_loss_fn(params_g):
-                out, l_codebook, l_semantic, _ = net_g.apply(
+                out, l_codebook, l_semantic, idx_list = net_g.apply(
                     {'params': params_g}, gen_in.astype(net_g.dtype),
                     gt_indices=gt_indices, vgg_feat=vgg_feat, train=True)
                 out32 = out.astype(jnp.float32)
@@ -386,6 +386,11 @@ class FeMaSRModel(BaseModel):
                     l_g_gan = cri_gan(fake_pred, True, is_disc=False) * gan_gate
                     total += l_g_gan
                     ld['l_g_gan'] = l_g_gan
+                # codebook-utilization telemetry (not a loss)
+                from ..ops.quantize import codebook_perplexity
+                ld['codebook_perplexity'] = jax.lax.stop_gradient(
+                    codebook_perplexity(idx_list[0],
+                                        net_g.codebook_params[0][1]))
                 return total, (ld, out32)
 
             (l_g_total, (loss_dict, output)), grads_g = jax.value_and_grad(

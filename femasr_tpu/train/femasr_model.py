@@ -580,8 +580,9 @@ class FeMaSRModel(BaseModel):
                             dataset_name, name, self.metric_results[name],
                             current_iter)
                     self.copy_model_to_best()
-                    self.save_network(self.current_params_g(), 'net_g_best', '')
-                    if self.is_train:
+                    if self.is_train:  # offline eval has no models dir
+                        self.save_network(self.current_params_g(),
+                                          'net_g_best', '')
                         self.save_network({'params': self.state.params_d,
                                            'spectral': self.state.spectral},
                                           'net_d_best', '', param_key='tree')
@@ -591,7 +592,9 @@ class FeMaSRModel(BaseModel):
                     current_iter) for name in metric_funcs]
                 if sum(updated):
                     self.copy_model_to_best()
-                    self.save_network(self.current_params_g(), 'net_g_best', '')
+                    if self.is_train:
+                        self.save_network(self.current_params_g(),
+                                          'net_g_best', '')
             self._log_validation_metric_values(current_iter, dataset_name,
                                                tb_logger)
 

@@ -1,0 +1,98 @@
+"""End-to-end pipeline smokes: offline evaluation (test.py) and metric CLIs."""
+
+import os
+import subprocess
+import sys
+from os import path as osp
+
+import cv2
+import numpy as np
+import pytest
+
+REPO = osp.abspath(osp.join(osp.dirname(__file__), '..'))
+
+
+@pytest.fixture(scope='module')
+def eval_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp('eval_data')
+    gt_dir = root / 'gt'
+    lq_dir = root / 'lq'
+    gt_dir.mkdir()
+    lq_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        gt = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(gt_dir / f'im{i}.png'), gt)
+        cv2.imwrite(str(lq_dir / f'im{i}.png'), cv2.resize(gt, (16, 16)))
+    return root
+
+
+def test_offline_eval_pipeline(eval_data, tmp_path):
+    """test.py: build model from YAML, validate over a test set, save images
+    + metrics (reference basicsr/test.py:11-45 flow)."""
+    from femasr_tpu.train.pipeline import test_pipeline
+
+    cfg = f"""
+name: smoke_test_eval
+model_type: FeMaSRModel
+scale: 4
+num_gpu: 1
+manual_seed: 0
+datasets:
+  test_1:
+    name: tiny_test
+    type: PairedImageDataset
+    dataroot_gt: {eval_data}/gt
+    dataroot_lq: {eval_data}/lq
+    io_backend: {{type: disk}}
+network_g:
+  type: FeMaSRNet
+  gt_resolution: 256
+  norm_type: 'gn'
+  act_type: 'silu'
+  scale_factor: 4
+  codebook_params:
+    - [32, 64, 64]
+  LQ_stage: true
+network_d: {{type: UNetDiscriminatorSN, num_in_ch: 3}}
+path: {{strict_load: false}}
+val:
+  save_img: true
+  suffix: ~
+  key_metric: psnr
+  metrics:
+    psnr: {{type: psnr, crop_border: 4, test_y_channel: true}}
+    ssim: {{type: ssim, crop_border: 4, test_y_channel: true}}
+logger: {{use_tb_logger: false}}
+"""
+    opt_path = tmp_path / 'test_opt.yml'
+    opt_path.write_text(cfg)
+    model = test_pipeline(str(tmp_path), argv=['-opt', str(opt_path)])
+    assert 'psnr' in model.metric_results
+    assert np.isfinite(model.metric_results['psnr'])
+    vis = tmp_path / 'results' / 'smoke_test_eval' / 'visualization' / 'tiny_test'
+    saved = list(vis.glob('*.png'))
+    assert len(saved) == 2
+    img = cv2.imread(str(saved[0]))
+    assert img.shape == (256, 256, 3)
+
+
+def test_metric_cli_scripts(eval_data, tmp_path):
+    """scripts/metrics/calculate_psnr_ssim.py end-to-end via subprocess."""
+    restored = tmp_path / 'restored'
+    restored.mkdir()
+    rng = np.random.default_rng(1)
+    for p in (eval_data / 'gt').glob('*.png'):
+        img = cv2.imread(str(p))
+        noisy = np.clip(img.astype(np.int32)
+                        + rng.integers(-10, 10, img.shape), 0, 255)
+        cv2.imwrite(str(restored / p.name), noisy.astype(np.uint8))
+
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS='cpu')
+    out = subprocess.run(
+        [sys.executable, osp.join(REPO, 'scripts/metrics/calculate_psnr_ssim.py'),
+         '--gt', str(eval_data / 'gt'), '--restored', str(restored),
+         '--crop_border', '4', '--test_y_channel'],
+        capture_output=True, text=True, env=env, timeout=240)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert 'Average: PSNR:' in out.stdout

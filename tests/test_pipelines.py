@@ -74,7 +74,7 @@ logger: {{use_tb_logger: false}}
     saved = list(vis.glob('*.png'))
     assert len(saved) == 2
     img = cv2.imread(str(saved[0]))
-    assert img.shape == (256, 256, 3)
+    assert img.shape == (64, 64, 3)
 
 
 def test_metric_cli_scripts(eval_data, tmp_path):

@@ -8,8 +8,6 @@ the tensor branch of the reference is unnecessary in the host pipeline.
 from __future__ import annotations
 
 import random
-from typing import List, Sequence, Union
-
 import cv2
 import numpy as np
 

@@ -13,7 +13,7 @@ via `convert_lpips_checkpoint` (keys 'net.slice*.weight' / 'lin*.model.1.weight'
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ re-derives them from any folder of pristine images.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

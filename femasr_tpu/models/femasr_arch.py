@@ -18,7 +18,7 @@ SwinLayers:114-132), re-designed TPU-first:
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

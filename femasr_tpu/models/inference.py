@@ -15,9 +15,8 @@ femasr_arch.py:387-447), re-designed TPU-first:
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

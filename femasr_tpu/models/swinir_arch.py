@@ -13,11 +13,10 @@ token<->image round-trips are no-ops.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..ops.layers import conv2d, upsample_nearest
@@ -198,8 +197,6 @@ def convert_swinir_checkpoint(torch_sd, depths=(6, 6, 6, 6),
                               resi_connection: str = '1conv',
                               upsampler: str = '') -> dict:
     """torch SwinIR state_dict -> flax params."""
-    from flax.traverse_util import unflatten_dict
-
     from .convert import (_conv_entries, _ident, _swin_block_entries)
 
     m = {}

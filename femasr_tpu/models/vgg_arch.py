@@ -9,7 +9,7 @@ requested layer. Weights are converted from torchvision state_dicts with
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

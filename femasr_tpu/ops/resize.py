@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -9,7 +9,6 @@ handled by parallel/mesh.py + jit.
 
 from __future__ import annotations
 
-import os
 from os import path as osp
 from typing import Any, Dict, Optional
 

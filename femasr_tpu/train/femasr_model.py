@@ -36,8 +36,7 @@ from ..metrics import create_metric
 from ..models import build_network
 from ..models.convert import merge_params
 from ..models.inference import SRInferencer
-from ..parallel.mesh import (batch_sharding, create_mesh, is_main_process,
-                             make_global_batch, replicated)
+from ..parallel.mesh import create_mesh, make_global_batch, replicated
 from ..utils import get_root_logger, tensor2img
 from ..utils.registry import MODEL_REGISTRY
 from .base_model import BaseModel

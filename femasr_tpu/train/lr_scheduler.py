@@ -7,8 +7,7 @@ warmup applied by BaseModel.update_learning_rate (base_model.py:185-206).
 
 from __future__ import annotations
 
-import math
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 

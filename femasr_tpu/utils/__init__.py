@@ -1,3 +1,7 @@
+from .checkpoint import (load_pytree, load_pytree_orbax, save_pytree,
+                         save_pytree_orbax, to_host)
+from .download_util import get_cache_dir, load_file_from_url
+from .file_client import FileClient
 from .img_util import (array2img, crop_border, imfrombytes, img2array,
                        img2tensor, imwrite, make_grid, tensor2img)
 from .logger import (AvgTimer, MessageLogger, get_env_info, get_root_logger,
@@ -10,7 +14,12 @@ from .options import (apply_force_yml, copy_opt_file, dict2str, ordered_yaml,
 from .registry import (ARCH_REGISTRY, DATASET_REGISTRY, LOSS_REGISTRY,
                        METRIC_REGISTRY, MODEL_REGISTRY, Registry)
 
+# device-side JPEG (the reference exports DiffJPEG from basicsr.utils)
+from ..ops.diffjpeg import jpeg_compress as diff_jpeg  # noqa: E402
+
 __all__ = [
+    'load_pytree', 'load_pytree_orbax', 'save_pytree', 'save_pytree_orbax',
+    'to_host', 'get_cache_dir', 'load_file_from_url', 'FileClient',
     'array2img', 'crop_border', 'imfrombytes', 'img2array', 'img2tensor',
     'imwrite', 'make_grid', 'tensor2img',
     'AvgTimer', 'MessageLogger', 'get_env_info', 'get_root_logger',
@@ -20,5 +29,5 @@ __all__ = [
     'apply_force_yml', 'copy_opt_file', 'dict2str', 'ordered_yaml',
     'parse_options', 'yaml_load',
     'ARCH_REGISTRY', 'DATASET_REGISTRY', 'LOSS_REGISTRY', 'METRIC_REGISTRY',
-    'MODEL_REGISTRY', 'Registry',
+    'MODEL_REGISTRY', 'Registry', 'diff_jpeg',
 ]

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import List, Sequence, Union
+from typing import List, Sequence
 
 import cv2
 import numpy as np

@@ -8,7 +8,6 @@ archive, key-indexed reads), mmap'd and decode-free.
 
 from __future__ import annotations
 
-import os
 from os import path as osp
 from typing import List, Optional
 

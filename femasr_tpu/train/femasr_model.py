@@ -638,7 +638,8 @@ class FeMaSRModel(BaseModel):
     def get_current_visuals(self) -> Dict[str, np.ndarray]:
         vis = 16
         out = OrderedDict()
-        out['lq'] = np.asarray(self.lq)[:vis]
+        if self.lq is not None:  # absent under on-device degradation
+            out['lq'] = np.asarray(self.lq)[:vis]
         out['result'] = np.asarray(self.output)[:vis]
         if not self.LQ_stage:
             out['codebook'] = self.vis_single_code()

@@ -93,3 +93,16 @@ def test_bucketed_folder_inference():
     h, w = 20 * 4, 24 * 4
     diff = np.abs(outs[0][:h - 16, :w - 16] - solo[:h - 16, :w - 16])
     assert np.median(diff) < 2e-2
+
+
+def test_x2_whole_image_parity():
+    """x2 model family (BASELINE config 2): wsz=32 padding + parity."""
+    tnet, sr = _make_pair(scale=2)
+    rng = np.random.default_rng(4)
+    img = rng.random((1, 40, 44, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = tnet.test(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    out = np.asarray(sr.run_padded(jnp.asarray(img)))
+    assert out.shape == ref.shape == (1, 80, 88, 3)
+    np.testing.assert_allclose(out, np.clip(ref, 0, 1), atol=5e-4)

@@ -344,9 +344,10 @@ class FeMaSRModel(BaseModel):
 
             vgg_feat = None
             if use_semantic:
+                # HQ stage: the generator input IS gt (femasr_arch.py:318-320)
                 vgg_feat = jax.lax.stop_gradient(vgg_extractor.apply(
                     {'params': vgg_params['vgg19']},
-                    (gt if not lq_stage else gt).astype(net_g.dtype))['relu4_4'])
+                    gt.astype(net_g.dtype))['relu4_4'])
 
             gen_in = lq if lq_stage else gt
 
@@ -478,7 +479,17 @@ class FeMaSRModel(BaseModel):
         self.output = aux['output']
         if 'gt_rec' in aux:
             self.gt_rec = aux['gt_rec']
-        self.log_dict = self.reduce_loss_dict(loss_dict)
+        # keep losses as device arrays: fetching scalars here would force a
+        # host sync EVERY step and break async step pipelining — they are
+        # materialized lazily in get_current_log() at print_freq only
+        self._device_log = loss_dict
+
+    def get_current_log(self) -> Dict[str, float]:
+        log = getattr(self, '_device_log', None)
+        if log is not None:
+            self.log_dict = self.reduce_loss_dict(log)
+            self._device_log = None
+        return self.log_dict
 
     def get_current_learning_rate(self):
         step = int(np.asarray(self.state.step))

@@ -14,8 +14,10 @@ from .options import (apply_force_yml, copy_opt_file, dict2str, ordered_yaml,
 from .registry import (ARCH_REGISTRY, DATASET_REGISTRY, LOSS_REGISTRY,
                        METRIC_REGISTRY, MODEL_REGISTRY, Registry)
 
-# device-side JPEG (the reference exports DiffJPEG from basicsr.utils)
+# device-side JPEG + sharpening (reference basicsr.utils exports
+# DiffJPEG / USMSharp / usm_sharp)
 from ..ops.diffjpeg import jpeg_compress as diff_jpeg  # noqa: E402
+from .img_process_util import USMSharp, filter2d, usm_sharp  # noqa: E402
 
 __all__ = [
     'load_pytree', 'load_pytree_orbax', 'save_pytree', 'save_pytree_orbax',
@@ -29,5 +31,6 @@ __all__ = [
     'apply_force_yml', 'copy_opt_file', 'dict2str', 'ordered_yaml',
     'parse_options', 'yaml_load',
     'ARCH_REGISTRY', 'DATASET_REGISTRY', 'LOSS_REGISTRY', 'METRIC_REGISTRY',
-    'MODEL_REGISTRY', 'Registry', 'diff_jpeg',
+    'MODEL_REGISTRY', 'Registry', 'diff_jpeg', 'USMSharp', 'usm_sharp',
+    'filter2d',
 ]

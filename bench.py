@@ -81,15 +81,19 @@ def main():
                                      (batch, TILE, TILE, 3), jnp.bfloat16)
                   for i in range(N_ITER)]
             float(forward(params, xs[0]))  # warmup (real execution)
-            ts = _timed_fetch(forward, [(params, x) for x in xs])
+            # pipelined serving pattern: dispatch all, fetch at the end
+            # (relay round-trip latency overlaps with compute)
+            t0 = time.perf_counter()
+            results = [forward(params, x) for x in xs]
+            _ = [float(r) for r in results]
+            dt = (time.perf_counter() - t0) / len(xs)
         except Exception as e:
             print(f'# batch {batch} failed: {type(e).__name__}', flush=True)
             break
-        dt = max(float(np.median(ts)) - lat, 1e-9)
         mps = batch * TILE * TILE / 1e6 / dt
-        print(f'# batch={batch}: median {np.median(ts) * 1e3:.1f} ms '
-              f'(- {lat * 1e3:.1f} ms relay latency) -> {mps:.2f} MP/s',
-              flush=True)
+        print(f'# batch={batch}: {dt * 1e3:.1f} ms/iter pipelined '
+              f'(relay latency {lat * 1e3:.1f} ms overlapped) '
+              f'-> {mps:.2f} MP/s', flush=True)
         if mps > best_mps:
             best_mps, best_batch = mps, batch
 

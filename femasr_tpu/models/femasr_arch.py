@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.layers import (CombineQuantBlock, ResBlock, conv2d,
-                          upsample_nearest)
+from ..ops.layers import CombineQuantBlock, ResBlock, UpConv3, conv2d
 from ..ops.quantize import VectorQuantizer
 from ..ops.swin import SwinLayers
 from ..utils.registry import ARCH_REGISTRY
@@ -55,16 +54,22 @@ class EncoderDownBlock(nn.Module):
 
 
 class EncoderUpBlock(nn.Module):
-    """[Upsample x2 nearest, Conv3, ResBlock, ResBlock] (femasr_arch.py:171-177)."""
+    """[Upsample x2 nearest, Conv3, ResBlock, ResBlock] (femasr_arch.py:171-177).
+
+    fused_upsample=True runs the exact fused low-res formulation
+    (ops/layers.py fused_upsample2x_conv3) — 2.25x fewer conv FLOPs; kept
+    opt-in because its compile hangs this harness's remote TPU compiler.
+    """
     out_ch: int
     norm_type: str = 'gn'
     act_type: str = 'silu'
+    fused_upsample: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = upsample_nearest(x, 2)
-        x = conv2d(self.out_ch, 3, 1, 1, dtype=self.dtype, name='conv')(x)
+        x = UpConv3(self.out_ch, fused=self.fused_upsample, dtype=self.dtype,
+                    name='conv')(x)
         x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
                      self.dtype, name='res1')(x, train)
         x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
@@ -73,16 +78,22 @@ class EncoderUpBlock(nn.Module):
 
 
 class DecoderBlock(nn.Module):
-    """Upsample(x2 nearest) -> Conv3 -> ResBlock x2 (femasr_arch.py:195-211)."""
+    """Upsample(x2 nearest) -> Conv3 -> ResBlock x2 (femasr_arch.py:195-211).
+
+    fused_upsample=True computes the exact fused low-res formulation
+    (2.25x fewer conv FLOPs, no pre-conv HR activation in HBM); opt-in —
+    see EncoderUpBlock note.
+    """
     out_ch: int
     norm_type: str = 'gn'
     act_type: str = 'silu'
+    fused_upsample: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = upsample_nearest(x, 2)
-        x = conv2d(self.out_ch, 3, 1, 1, dtype=self.dtype, name='conv')(x)
+        x = UpConv3(self.out_ch, fused=self.fused_upsample, dtype=self.dtype,
+                    name='conv')(x)
         x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
                      self.dtype, name='res1')(x, train)
         x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,

@@ -19,33 +19,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.layers import conv2d, upsample_nearest
+from ..ops.layers import (conv2d, pixel_shuffle, pixel_unshuffle,
+                          upsample_nearest)
 from ..ops.swin import RSTB
 from ..utils.registry import ARCH_REGISTRY
 
 RGB_MEAN = (0.4488, 0.4371, 0.4040)
-
-
-def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
-    """NHWC pixel shuffle: (B, H, W, C*r^2) -> (B, H*r, W*r, C).
-
-    Channel ordering matches torch.nn.PixelShuffle on NCHW->NHWC converted
-    weights: channel index = c * r^2 + dy * r + dx.
-    """
-    b, h, w, crr = x.shape
-    c = crr // (factor * factor)
-    x = x.reshape(b, h, w, c, factor, factor)
-    x = x.transpose(0, 1, 4, 2, 5, 3)
-    return x.reshape(b, h * factor, w * factor, c)
-
-
-def pixel_unshuffle(x: jax.Array, factor: int) -> jax.Array:
-    """Inverse pixel shuffle (arch_util.py:189 parity): channel-major packing."""
-    b, h, w, c = x.shape
-    oh, ow = h // factor, w // factor
-    x = x.reshape(b, oh, factor, ow, factor, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4)
-    return x.reshape(b, oh, ow, c * factor * factor)
 
 
 class UpsampleShuffle(nn.Module):

@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..models.swinir_arch import UpsampleShuffle, pixel_shuffle, pixel_unshuffle  # noqa: F401
-from .layers import conv2d
+from ..models.swinir_arch import UpsampleShuffle  # noqa: F401
+from .layers import conv2d, pixel_shuffle, pixel_unshuffle  # noqa: F401
 
 
 def to_2tuple(x):

@@ -155,6 +155,70 @@ def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
     return x.reshape(b, h * factor, w * factor, c)
 
 
+def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
+    """NHWC pixel shuffle: (B, H, W, C*r^2) -> (B, H*r, W*r, C).
+
+    Channel ordering matches torch.nn.PixelShuffle on NCHW->NHWC converted
+    weights: channel index = c * r^2 + dy * r + dx.
+    """
+    b, h, w, crr = x.shape
+    c = crr // (factor * factor)
+    x = x.reshape(b, h, w, c, factor, factor)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def pixel_unshuffle(x: jax.Array, factor: int) -> jax.Array:
+    """Inverse pixel shuffle (arch_util.py:189 parity): channel-major packing."""
+    b, h, w, c = x.shape
+    oh, ow = h // factor, w // factor
+    x = x.reshape(b, oh, factor, ow, factor, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, oh, ow, c * factor * factor)
+
+
+def fused_upsample2x_conv3(x: jax.Array, kernel: jax.Array,
+                           bias: Optional[jax.Array] = None) -> jax.Array:
+    """nearest-2x-upsample followed by 3x3 'SAME' conv, computed WITHOUT
+    materializing the upsampled tensor.
+
+    Mathematically exact re-association: each of the 4 output phases
+    (2i+ry, 2j+rx) sees only 2x2 distinct low-res pixels, with taps that are
+    sums of the 3x3 kernel's rows/cols. Runs 4 low-res 2x2 convs + a pixel
+    shuffle: 16*I*O FLOPs per LR pixel instead of 36*I*O, and the pre-conv
+    HR activation (the HBM hog of the reference's Upsample->Conv decoder
+    blocks, femasr_arch.py:195-211) never exists.
+
+    kernel: (3, 3, I, O) — the SAME parameter as the plain conv path.
+    """
+    w = kernel
+    rows0 = jnp.stack([w[0], w[1] + w[2]], 0)       # ry=0: taps [i-1, i]
+    rows1 = jnp.stack([w[0] + w[1], w[2]], 0)       # ry=1: taps [i, i+1]
+
+    def cols(wr, rx):
+        if rx == 0:                                  # taps [j-1, j]
+            return jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], 1)
+        return jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], 1)  # [j, j+1]
+
+    def phase(kk, pad_h, pad_w):
+        return jax.lax.conv_general_dilated(
+            x, kk.astype(x.dtype), (1, 1), (pad_h, pad_w),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    p00 = phase(cols(rows0, 0), (1, 0), (1, 0))
+    p01 = phase(cols(rows0, 1), (1, 0), (0, 1))
+    p10 = phase(cols(rows1, 0), (0, 1), (1, 0))
+    p11 = phase(cols(rows1, 1), (0, 1), (0, 1))
+
+    b, h, wd, o = p00.shape
+    out = jnp.stack([p00, p01, p10, p11], axis=-1)   # (..., O, 4) 4 = ry*2+rx
+    out = out.reshape(b, h, wd, o * 4)
+    out = pixel_shuffle(out, 2)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Nearest resize to arbitrary (H, W) matching torch F.interpolate(mode='nearest').
 
@@ -179,6 +243,33 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """
     return jax.image.resize(x, (x.shape[0], size[0], size[1], x.shape[3]),
                             method='bilinear').astype(x.dtype)
+
+
+class UpConv3(nn.Module):
+    """nearest-2x upsample + 3x3 conv, with an optional exact fused path.
+
+    Parameter layout identical to conv2d (kernel (3,3,I,O) + bias), so
+    checkpoints are interchangeable between the plain and fused paths.
+    """
+    features: int
+    fused: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if self.fused:
+            return fused_upsample2x_conv3(x.astype(self.dtype),
+                                          kernel.astype(self.dtype), bias)
+        y = upsample_nearest(x.astype(self.dtype), 2)
+        y = jax.lax.conv_general_dilated(
+            y, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + bias.astype(self.dtype)
 
 
 class CombineQuantBlock(nn.Module):

@@ -159,3 +159,22 @@ def test_rstb_parity():
     out = rstb.apply({'params': params},
                      jnp.asarray(x.numpy().reshape(2, 8, 8, dim)))
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
+
+
+def test_fused_upsample_conv_exact():
+    """fused_upsample2x_conv3 == nearest-up + 3x3 SAME conv, exactly."""
+    import jax.lax
+    from femasr_tpu.ops.layers import (fused_upsample2x_conv3,
+                                       upsample_nearest)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 7, 9, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 6)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+
+    up = upsample_nearest(x, 2)
+    ref = jax.lax.conv_general_dilated(
+        up, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b
+    out = fused_upsample2x_conv3(x, k, b)
+    assert out.shape == ref.shape == (2, 14, 18, 6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -106,3 +106,24 @@ def test_x2_whole_image_parity():
     out = np.asarray(sr.run_padded(jnp.asarray(img)))
     assert out.shape == ref.shape == (1, 80, 88, 3)
     np.testing.assert_allclose(out, np.clip(ref, 0, 1), atol=5e-4)
+
+
+def test_bf16_close_to_f32():
+    """Mixed-precision sanity: bf16 inference within ~1% of f32."""
+    torch.manual_seed(0)
+    femasr_arch = load_reference_module('basicsr.archs.femasr_arch')
+    tnet = femasr_arch.FeMaSRNet(codebook_params=CODEBOOK, LQ_stage=True,
+                                 scale_factor=4, norm_type='gn',
+                                 act_type='silu').eval()
+    from femasr_tpu.models.convert import convert_femasr_checkpoint
+    sd = state_dict_to_numpy(tnet.state_dict())
+    params = convert_femasr_checkpoint(sd, codebook_params=CODEBOOK,
+                                       LQ_stage=True, scale_factor=4)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    sr32 = SRInferencer(params, scale_factor=4, dtype=jnp.float32)
+    sr16 = SRInferencer(params, scale_factor=4, dtype=jnp.bfloat16)
+    out32 = np.asarray(sr32.run_padded(img))
+    out16 = np.asarray(sr16.run_padded(img))
+    err = np.abs(out32 - out16).mean()
+    assert err < 0.02, f'bf16 deviates too much: mean abs {err}'

@@ -146,3 +146,18 @@ def test_discriminator_power_iteration_matches_torch_train_step():
     np.testing.assert_allclose(
         np.asarray(mutated['spectral']['conv3']['v']),
         sd1['conv3.weight_v'], atol=1e-5)
+
+
+def test_fused_upsample_model_equivalence():
+    """FeMaSRNet(fused upsample blocks) == default path on the same params."""
+    from femasr_tpu.models.femasr_arch import DecoderBlock
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 64)).astype(np.float32))
+    blk = DecoderBlock(out_ch=64, fused_upsample=False)
+    params = blk.init(jax.random.PRNGKey(0), x)['params']
+    blk_fused = DecoderBlock(out_ch=64, fused_upsample=True)
+    out_plain = blk.apply({'params': params}, x)
+    out_fused = blk_fused.apply({'params': params}, x)
+    assert out_plain.shape == out_fused.shape == (1, 16, 16, 64)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                               atol=5e-5)

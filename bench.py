@@ -40,6 +40,27 @@ def _timed_fetch(fn, args_list):
 
 
 def main():
+    # The TPU relay on this harness intermittently reports
+    # "worker process crashed or restarted" after recoveries — retry the
+    # whole measurement a few times before giving up.
+    last = None
+    for attempt in range(3):
+        try:
+            _run()
+            return
+        except Exception as e:  # noqa: BLE001
+            last = e
+            print(f'# attempt {attempt + 1} failed: '
+                  f'{type(e).__name__}: {str(e)[:120]} — retrying',
+                  flush=True)
+            time.sleep(30)
+    print(json.dumps({
+        'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
+        'value': 0.0, 'unit': f'FAILED: {type(last).__name__}',
+        'vs_baseline': None}))
+
+
+def _run():
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +109,10 @@ def main():
             _ = [float(r) for r in results]
             dt = (time.perf_counter() - t0) / len(xs)
         except Exception as e:
-            print(f'# batch {batch} failed: {type(e).__name__}', flush=True)
+            if batch == 1:
+                raise  # first batch must work -> retry the whole run
+            print(f'# batch {batch} failed: {type(e).__name__} (expected '
+                  'OOM at this size)', flush=True)
             break
         mps = batch * TILE * TILE / 1e6 / dt
         print(f'# batch={batch}: {dt * 1e3:.1f} ms/iter pipelined '

@@ -61,7 +61,20 @@ def main():
 
 
 def _run():
+    import os
+
     import jax
+
+    # persistent compilation cache: once a run has compiled successfully,
+    # later runs (e.g. the driver's) skip the flaky remote compile helper
+    cache_dir = os.path.expanduser('~/.cache/femasr_tpu/jax_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from femasr_tpu.models import FeMaSRNet

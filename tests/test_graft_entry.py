@@ -1,12 +1,16 @@
-"""Driver-contract checks: entry() traces, dryrun config builds."""
+"""Driver-contract checks: entry() traces AND executes, dryrun self-provisions."""
 
+import os
+import subprocess
 import sys
 from os import path as osp
 
 import jax
-import pytest
+import numpy as np
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
+REPO = osp.abspath(osp.join(osp.dirname(__file__), '..'))
 
 
 def test_entry_traces_and_has_example_args():
@@ -14,6 +18,37 @@ def test_entry_traces_and_has_example_args():
     fn, example_args = g.entry()
     # tracing (abstract lowering) validates the jaxpr without executing
     lowered = jax.jit(fn).lower(*example_args)
-    out_shape = lowered.out_info
     assert lowered is not None
-    del out_shape
+
+
+def test_entry_executes():
+    """Lowering alone does not prove the forward runs — execute it (CPU)."""
+    import __graft_entry__ as g
+    fn, example_args = g.entry()
+    out = jax.jit(fn)(*example_args)
+    out = np.asarray(out)
+    assert out.shape == (1, 256, 256, 3)
+    assert np.all(np.isfinite(out))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_dryrun_multichip_8_as_driver_calls_it():
+    """Replicate the driver: fresh python, no CPU/mesh env pre-set.
+
+    dryrun_multichip must self-provision the 8-device CPU mesh by
+    re-exec'ing itself (the driver's process has jax pinned to the
+    1-device axon platform — MULTICHIP_r01.json failure mode).
+    """
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS', '_FEMASR_DRYRUN_CHILD')}
+    # keep the child off the TPU relay in this test: the driver's env pins
+    # axon; here we leave the platform unset (1-device CPU), which equally
+    # fails the >=8-device check and must trigger the self-provision path.
+    env['JAX_PLATFORMS'] = 'cpu'
+    proc = subprocess.run(
+        [sys.executable, '-c',
+         'import __graft_entry__ as g; g.dryrun_multichip(8)'],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (
+        f'stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}')
+    assert '[dryrun_multichip] OK' in proc.stdout

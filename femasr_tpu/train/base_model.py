@@ -9,6 +9,7 @@ handled by parallel/mesh.py + jit.
 
 from __future__ import annotations
 
+import time
 from os import path as osp
 from typing import Any, Dict, Optional
 
@@ -82,16 +83,46 @@ class BaseModel:
 
     def save_network(self, params: Any, net_label: str, current_iter,
                      param_key: str = 'params') -> None:
-        """Save a network pytree as models/<label>_<iter>.ckpt."""
+        """Save a network pytree as models/<label>_<iter>.ckpt.
+
+        Retries the write 3x with a 1 s sleep before giving up with a
+        warning (reference base_model.py:241-256 — "avoid occasional
+        writing errors" on flaky shared filesystems).
+        """
         current_iter = 'latest' if current_iter == -1 else current_iter
         fname = f'{net_label}_{current_iter}.ckpt' if current_iter != '' \
             else f'{net_label}.ckpt'
         path = osp.join(self.opt['path']['models'], fname)
-        save_pytree({param_key: to_host(params)}, path)
+        self._save_with_retry({param_key: to_host(params)}, path)
+
+    @staticmethod
+    def _save_with_retry(tree: Dict[str, Any], path: str,
+                         retries: int = 3) -> None:
+        for attempt in range(retries):
+            try:
+                save_pytree(tree, path)
+                return
+            except Exception as e:  # noqa: BLE001 — parity: swallow & retry
+                get_root_logger().warning(
+                    f'Save model error: {e}, remaining retry times: '
+                    f'{retries - attempt - 1}')
+                time.sleep(1)
+        get_root_logger().warning(f'Still cannot save {path}. Just ignore it.')
 
     def load_network(self, path: str, param_key: Optional[str] = 'params'):
-        """Load a network checkpoint (.ckpt msgpack or torch .pth)."""
+        """Load a network checkpoint (.ckpt msgpack or torch .pth).
+
+        https:// paths are auto-downloaded into
+        experiments/pretrained_models/ first (reference
+        base_model.py:304-306).
+        """
         logger = get_root_logger()
+        if path.startswith(('https://', 'http://')):
+            from ..utils.download_util import load_file_from_url
+            model_dir = osp.join(
+                self.opt.get('root_path', '.'),
+                'experiments', 'pretrained_models')
+            path = load_file_from_url(path, model_dir=model_dir)
         logger.info(f'Loading model from {path}')
         if path.endswith(('.pth', '.pt')):
             from ..models.convert import load_torch_checkpoint
@@ -110,7 +141,7 @@ class BaseModel:
                  'state': to_host(state_tree)}
         path = osp.join(self.opt['path']['training_states'],
                         f'{current_iter}.state')
-        save_pytree(state, path)
+        self._save_with_retry(state, path)
 
     def resume_training_state(self, path: str) -> Dict[str, Any]:
         return load_pytree(path)

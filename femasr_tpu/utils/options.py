@@ -152,6 +152,7 @@ def parse_options(root_path: str,
 
     opt['auto_resume'] = args.auto_resume
     opt['is_train'] = is_train
+    opt['root_path'] = root_path
 
     # debug setting
     if args.debug and not opt['name'].startswith('debug'):

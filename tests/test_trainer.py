@@ -250,3 +250,49 @@ def test_lq_stage_on_device_degradation(hq_run, data_root, tmp_path_factory):
     log = model.get_current_log()
     assert all(np.isfinite(v) for v in log.values()), log
     assert model.output.shape == (1, 64, 64, 3)
+
+
+def test_save_network_retries_then_warns(tmp_path, capfd):
+    """Write failures retry 3x with a warning, never raise
+    (reference base_model.py:241-256)."""
+    import time as _time
+    from unittest import mock
+
+    from femasr_tpu.train.base_model import BaseModel
+
+    model = BaseModel({'path': {'models': str(tmp_path / 'nope')},
+                       'is_train': True})
+    calls = []
+
+    def boom(tree, path):
+        calls.append(path)
+        raise OSError('disk on fire')
+
+    with mock.patch('femasr_tpu.train.base_model.save_pytree', boom), \
+            mock.patch.object(_time, 'sleep'):
+        model.save_network({'w': np.zeros(2)}, 'net_g', 5)  # must not raise
+    assert len(calls) == 3
+    assert 'Still cannot save' in capfd.readouterr().err
+
+
+def test_load_network_url_autodownload(tmp_path):
+    """https:// checkpoint paths are fetched into
+    experiments/pretrained_models first (reference base_model.py:304-306)."""
+    from unittest import mock
+
+    from femasr_tpu.train import base_model as bm
+    from femasr_tpu.utils.checkpoint import save_pytree
+
+    local = tmp_path / 'weights.ckpt'
+    save_pytree({'params': {'w': np.ones(3, np.float32)}}, str(local))
+
+    def fake_download(url, model_dir=None, **kw):
+        assert url.startswith('https://')
+        assert model_dir.endswith('experiments/pretrained_models')
+        return str(local)
+
+    model = bm.BaseModel({'root_path': str(tmp_path), 'is_train': False})
+    with mock.patch('femasr_tpu.utils.download_util.load_file_from_url',
+                    fake_download):
+        params = model.load_network('https://example.com/weights.ckpt')
+    np.testing.assert_array_equal(np.asarray(params['w']), np.ones(3))

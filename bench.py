@@ -1,81 +1,130 @@
 #!/usr/bin/env python
 """Headline benchmark: x4 SR throughput on 512px LQ tiles (BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — ALWAYS,
+within a hard ~9.5-minute wall budget. The parent process never imports jax;
+every measurement attempt runs in a subprocess with its own timeout so a
+wedged TPU relay or a stalled remote compile cannot eat the driver's budget
+(the round-1 failure mode: two ~12-min failed 512px compiles, rc=124, no
+JSON recorded).
+
+Ladder: relay health probe (60s) -> 128px -> 256px -> 512px, smallest first
+so a cheap compile always lands SOME real number even when the relay's
+remote-compile helper is degraded (~10x slowdown observed); the largest
+successful tile wins (fallbacks labeled). A persistent compilation cache
+(warmed during the build round) makes the 512px attempt fast when healthy.
 
 Measurement notes: on this harness the TPU is reached through a relay where
 `block_until_ready()` does NOT wait for real execution and numerically
 identical dispatches can be served from a cache — so every timed iteration
-uses a distinct input and is synchronized by fetching a scalar reduction to
-the host; the relay round-trip latency is measured on a trivial op and
-subtracted.
+uses a distinct input and the batch is synchronized by fetching scalar
+reductions to the host (relay round-trip overlaps with compute in the
+pipelined pattern).
 
 vs_baseline estimates the reference PyTorch implementation on one H100: the
 generator costs F FLOPs per 512x512 input tile (XLA cost analysis). The
 reference runs fp32/TF32 cuDNN without AMP or torch.compile
 (inference_femasr.py:39-41); we credit it 25% of the 495 TFLOP/s TF32 peak
-(123.75 TFLOP/s) on this conv+window-attention mix:
-    baseline_mps = 123.75e12 / (F / MP_per_tile)
+(123.75 TFLOP/s) on this conv+window-attention mix — generous for an
+eager-mode, batch-1, NCHW fp32 torch loop (see NOTES_ROUND2.md for the
+derivation).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 H100_TF32_PEAK = 495e12
 H100_ASSUMED_UTIL = 0.25
-TILE = 512
 N_ITER = 6
 
+TOTAL_BUDGET_S = 570          # hard wall budget for the whole script
+PROBE_BUDGET_S = 60
+TILE_BUDGET_S = {128: 150, 256: 120, 512: None}  # None = all remaining
 
-def _timed_fetch(fn, args_list):
-    """Sequential host-fetch timing; returns per-call seconds."""
-    ts = []
-    for args in args_list:
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return np.asarray(ts)
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _fail_json(reason):
+    print(json.dumps({
+        'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
+        'value': 0.0,
+        'unit': f'FAILED: {reason} (relay down; ~0.70 MP/s when healthy, '
+                'see NOTES_ROUND1.md)',
+        'vs_baseline': None}), flush=True)
 
 
 def main():
-    # The TPU relay on this harness intermittently reports
-    # "worker process crashed or restarted" after recoveries — retry the
-    # whole measurement a few times before giving up.
-    last = None
-    for attempt in range(3):
+    deadline = time.monotonic() + TOTAL_BUDGET_S
+
+    def remaining():
+        return deadline - time.monotonic()
+
+    # 1. relay health probe (CLAUDE.md one-liner) — twice, cheap
+    probe = ('import jax, jax.numpy as jnp; '
+             'print(float(jnp.arange(4.).sum()))')
+    healthy = False
+    for _ in range(2):
         try:
-            _run()
-            return
-        except Exception as e:  # noqa: BLE001
-            last = e
-            print(f'# attempt {attempt + 1} failed: '
-                  f'{type(e).__name__}: {str(e)[:120]} — retrying',
+            r = subprocess.run([sys.executable, '-c', probe], cwd=HERE,
+                               timeout=min(PROBE_BUDGET_S, remaining()),
+                               capture_output=True, text=True)
+            if r.returncode == 0 and '6.0' in r.stdout:
+                healthy = True
+                break
+            print(f'# probe rc={r.returncode}: {r.stderr[-160:]!r}',
                   flush=True)
-            time.sleep(30)
-    # the relay's remote compile helper sometimes cannot compile the 512px
-    # program (known harness degradation; 0.69-0.70 MP/s measured when
-    # healthy — see NOTES_ROUND1.md). Fall back to a smaller tile so a real
-    # measurement is still recorded, clearly labeled.
-    for tile in (256, 128):
+        except (subprocess.TimeoutExpired, ValueError):
+            print('# probe timed out', flush=True)
+        time.sleep(10)
+    if not healthy:
+        _fail_json('TPU relay health probe failed')
+        return
+
+    # 2. measurement ladder, smallest tile first; each attempt bounded by
+    # its own subprocess. Keep the largest tile that succeeds.
+    best = None
+    for tile in (128, 256, 512):
+        cap = TILE_BUDGET_S[tile]
+        budget = remaining() if cap is None else min(cap, remaining())
+        if budget < 30:
+            break
         try:
-            _run(tile=tile, fallback=True)
-            return
-        except Exception as e:  # noqa: BLE001
-            last = e
-            print(f'# fallback tile={tile} failed: {type(e).__name__}',
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 '--child', str(tile)],
+                cwd=HERE, timeout=budget, capture_output=True, text=True)
+        except subprocess.TimeoutExpired as e:
+            print(f'# tile={tile} attempt timed out after {budget:.0f}s',
                   flush=True)
-    print(json.dumps({
-        'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
-        'value': 0.0, 'unit': f'FAILED: {type(last).__name__} '
-        '(relay compile helper down; 0.70 MP/s when healthy, see NOTES_ROUND1.md)',
-        'vs_baseline': None}))
+            if e.stdout:
+                sys.stdout.write(e.stdout if isinstance(e.stdout, str)
+                                 else e.stdout.decode())
+            continue
+        for line in r.stdout.splitlines():
+            if line.startswith('#'):
+                print(line, flush=True)
+        jline = next((ln for ln in reversed(r.stdout.splitlines())
+                      if ln.startswith('{')), None)
+        if r.returncode == 0 and jline:
+            try:
+                json.loads(jline)
+            except ValueError:
+                continue
+            best = jline  # larger tiles overwrite smaller fallbacks
+        else:
+            print(f'# tile={tile} attempt failed rc={r.returncode}: '
+                  f'{r.stderr[-200:]!r}', flush=True)
+    if best is not None:
+        print(best, flush=True)
+        return
+    _fail_json('all tile sizes failed within the wall budget')
 
 
-def _run(tile=TILE, fallback=False):
-    import os
-
+def _child(tile):
+    """One bounded measurement at a single tile size. Prints one JSON line."""
     import jax
 
     # persistent compilation cache: once a run has compiled successfully,
@@ -89,17 +138,10 @@ def _run(tile=TILE, fallback=False):
         pass
 
     import jax.numpy as jnp
+    import numpy as np
 
+    sys.path.insert(0, HERE)
     from femasr_tpu.models import FeMaSRNet
-
-    # relay round-trip latency on a trivial op
-    @jax.jit
-    def triv(x):
-        return x.sum()
-
-    _ = float(triv(jnp.zeros((8,))))
-    lat = float(np.median(_timed_fetch(
-        triv, [(jnp.full((8,), i, jnp.float32),) for i in range(6)])))
 
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
@@ -136,14 +178,13 @@ def _run(tile=TILE, fallback=False):
             dt = (time.perf_counter() - t0) / len(xs)
         except Exception as e:
             if batch == 1:
-                raise  # first batch must work -> retry the whole run
+                raise  # first batch must work -> parent falls down ladder
             print(f'# batch {batch} failed: {type(e).__name__} (expected '
                   'OOM at this size)', flush=True)
             break
         mps = batch * tile * tile / 1e6 / dt
-        print(f'# batch={batch}: {dt * 1e3:.1f} ms/iter pipelined '
-              f'(relay latency {lat * 1e3:.1f} ms overlapped) '
-              f'-> {mps:.2f} MP/s', flush=True)
+        print(f'# tile={tile} batch={batch}: {dt * 1e3:.1f} ms/iter '
+              f'pipelined -> {mps:.2f} MP/s', flush=True)
         if mps > best_mps:
             best_mps, best_batch = mps, batch
 
@@ -151,8 +192,9 @@ def _run(tile=TILE, fallback=False):
     if flops_per_tile:
         baseline_mps = (H100_TF32_PEAK * H100_ASSUMED_UTIL
                         / (flops_per_tile / mp_per_tile))
-        print(f'# {flops_per_tile / 1e12:.2f} TFLOP / 512px tile; assumed '
-              f'H100-PyTorch baseline {baseline_mps:.2f} MP/s', flush=True)
+        print(f'# {flops_per_tile / 1e12:.2f} TFLOP / {tile}px tile; '
+              f'assumed H100-PyTorch baseline {baseline_mps:.2f} MP/s',
+              flush=True)
     else:
         baseline_mps = float('nan')
 
@@ -160,13 +202,17 @@ def _run(tile=TILE, fallback=False):
         'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
         'value': round(best_mps, 3),
         'unit': (f'MP/s (input pixels), bf16, batch {best_batch}'
-                 + (f', FALLBACK {tile}px tiles (512px compile failed on '
-                    'this relay)' if fallback else '')),
+                 + ('' if tile == 512 else
+                    f', FALLBACK {tile}px tiles (512px failed on this '
+                    'relay)')),
         'vs_baseline': round(best_mps / baseline_mps, 3)
         if np.isfinite(baseline_mps) else None,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == '--child':
+        _child(int(sys.argv[2]))
+    else:
+        main()

@@ -522,13 +522,46 @@ class FeMaSRModel(BaseModel):
 
     def dist_validation(self, dataloader, current_iter, tb_logger, save_img,
                         save_as_dir=None):
-        logger = get_root_logger()
-        logger.info('Only support single GPU validation.')
-        self.nondist_validation(dataloader, current_iter, tb_logger, save_img,
-                                save_as_dir)
+        """Validation with forwards sharded over the 'data' mesh axis.
+
+        Beats the reference's "Only support single GPU validation" fall-through
+        (femasr_model.py:229-232): images are grouped by padded shape into
+        mesh-wide batches and each batched forward shards over 'data'.
+        """
+        ndev = self.mesh.shape.get('data', 1)
+        self._run_validation(dataloader, current_iter, tb_logger, save_img,
+                             save_as_dir, shard_devices=ndev)
 
     def nondist_validation(self, dataloader, current_iter, tb_logger,
                            save_img, save_as_dir=None):
+        self._run_validation(dataloader, current_iter, tb_logger, save_img,
+                             save_as_dir, shard_devices=1)
+
+    def _sharded_sr_batch(self, lqs):
+        """SR a list of same-padded-shape HWC [0,1] images as ONE forward
+        sharded over the 'data' mesh axis (count padded up to the axis size
+        by repeating the last image)."""
+        from ..models.inference import flip_pad
+        from ..parallel.mesh import batch_sharding
+        sr = self._get_inferencer()
+        s, wsz = self.scale, sr.wsz
+        ndev = self.mesh.shape.get('data', 1)
+        n = len(lqs)
+        batch = []
+        for im in lqs:
+            h, w = im.shape[:2]
+            x = jnp.asarray(im, jnp.float32)[None]
+            batch.append(flip_pad(x, (h // wsz + 1) * wsz - h,
+                                  (w // wsz + 1) * wsz - w)[0])
+        while len(batch) % ndev:
+            batch.append(batch[-1])
+        x = jax.device_put(jnp.stack(batch), batch_sharding(self.mesh))
+        out = np.asarray(sr._forward(sr.params, x))
+        return [out[i, :im.shape[0] * s, :im.shape[1] * s]
+                for i, im in enumerate(lqs[:n])]
+
+    def _run_validation(self, dataloader, current_iter, tb_logger,
+                        save_img, save_as_dir, shard_devices: int = 1):
         dataset_name = dataloader.dataset.opt['name']
         with_metrics = self.opt['val'].get('metrics') is not None
         metric_funcs = {}
@@ -548,10 +581,9 @@ class FeMaSRModel(BaseModel):
             self.key_metric = self.opt['val'].get('key_metric')
 
         count = 0
-        for val_data in dataloader:
-            img_name = osp.splitext(osp.basename(val_data['lq_path'][0]))[0]
-            lq = val_data['lq'][0]
-            sr_out = self.test(lq)
+
+        def _handle(img_name, sr_out, val_data):
+            nonlocal count
             sr_img = tensor2img(sr_out)
             count += 1
 
@@ -575,6 +607,38 @@ class FeMaSRModel(BaseModel):
                 sr01 = sr_img[..., ::-1].astype(np.float32) / 255.0  # BGR->RGB
                 for name, fn in metric_funcs.items():
                     self.metric_results[name] += fn(sr01, gt)
+
+        if shard_devices <= 1:
+            for val_data in dataloader:
+                img_name = osp.splitext(
+                    osp.basename(val_data['lq_path'][0]))[0]
+                _handle(img_name, self.test(val_data['lq'][0]), val_data)
+        else:
+            # group images by padded shape, run each group as one forward
+            # sharded over the 'data' mesh axis
+            wsz = self._get_inferencer().wsz
+            groups: Dict[Any, list] = {}
+
+            def _flush(key):
+                items = groups.pop(key)
+                outs = self._sharded_sr_batch([it[1] for it in items])
+                for (img_name, _, vd), out in zip(items, outs):
+                    _handle(img_name, out, vd)
+
+            for val_data in dataloader:
+                img_name = osp.splitext(
+                    osp.basename(val_data['lq_path'][0]))[0]
+                lq = np.asarray(val_data['lq'][0])
+                h, w = lq.shape[:2]
+                if h * w >= 8000 * 8000:  # huge image: per-image tiled path
+                    _handle(img_name, self.test(lq), val_data)
+                    continue
+                key = ((h // wsz + 1) * wsz, (w // wsz + 1) * wsz)
+                groups.setdefault(key, []).append((img_name, lq, val_data))
+                if len(groups[key]) == shard_devices:
+                    _flush(key)
+            for key in list(groups):
+                _flush(key)
 
         if with_metrics and metric_funcs:
             for m in self.metric_results:

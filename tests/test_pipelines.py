@@ -96,3 +96,67 @@ def test_metric_cli_scripts(eval_data, tmp_path):
         capture_output=True, text=True, env=env, timeout=240)
     assert out.returncode == 0, out.stderr[-500:]
     assert 'Average: PSNR:' in out.stdout
+
+
+def test_sharded_validation_matches_single_device(eval_data, tmp_path):
+    """dist_validation shards forwards over the 8-device 'data' mesh axis and
+    must produce the same metrics as the single-device path (replaces the
+    reference's "Only support single GPU validation" fall-through,
+    femasr_model.py:229-232)."""
+    from femasr_tpu.data.loader import build_dataloader, build_dataset
+    from femasr_tpu.train import build_model
+    from femasr_tpu.utils.options import yaml_load
+
+    opt = yaml_load(f"""
+name: shard_val
+model_type: FeMaSRModel
+scale: 4
+num_gpu: 8
+manual_seed: 0
+is_train: false
+dist: true
+rank: 0
+world_size: 1
+datasets:
+  test_1:
+    name: tiny_test
+    phase: test
+    scale: 4
+    type: PairedImageDataset
+    dataroot_gt: {eval_data}/gt
+    dataroot_lq: {eval_data}/lq
+    io_backend: {{type: disk}}
+network_g:
+  type: FeMaSRNet
+  gt_resolution: 256
+  norm_type: 'gn'
+  act_type: 'silu'
+  scale_factor: 4
+  codebook_params:
+    - [32, 64, 64]
+  LQ_stage: true
+network_d: {{type: UNetDiscriminatorSN, num_in_ch: 3}}
+path:
+  strict_load: false
+  visualization: {tmp_path}/vis
+val:
+  save_img: false
+  key_metric: psnr
+  metrics:
+    psnr: {{type: psnr, crop_border: 4, test_y_channel: true}}
+logger: {{use_tb_logger: false}}
+""")
+    model = build_model(opt)
+    ds_opt = opt['datasets']['test_1']
+    dataset = build_dataset(ds_opt)
+    loader = build_dataloader(dataset, ds_opt, num_gpu=1, dist=False)
+
+    model.dist_validation(loader, 1, None, save_img=False)
+    sharded = dict(model.metric_results)
+    model.nondist_validation(loader, 1, None, save_img=False)
+    single = dict(model.metric_results)
+
+    assert sharded.keys() == single.keys()
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4,
+                                   err_msg=k)

@@ -34,6 +34,11 @@ class SpectralConv(nn.Module):
     padding: int = 1
     use_bias: bool = False
     eps: float = 1e-12
+    # power iterations run at variable-init time so sigma starts converged.
+    # torch inits u random (one iteration per forward, converging over the
+    # first steps); with 9 stacked SN convs a random-u sigma underestimate
+    # compounds to ~1e13 D outputs at init, so we warm-start instead.
+    init_power_iters: int = 15
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -54,16 +59,19 @@ class SpectralConv(nn.Module):
         # torch.nn.utils.spectral_norm parity: u/v are persistent buffers;
         # training forwards run one power iteration and store u/v, eval
         # forwards reuse the stored vectors as-is.
-        u_var = self.variable(
-            'spectral', 'u',
-            lambda: _l2_normalize(
+        def warm_uv():
+            w_sg = jax.lax.stop_gradient(w_mat)
+            u0 = _l2_normalize(
                 jax.random.normal(jax.random.PRNGKey(0), (self.features,)),
-                self.eps))
-        v_var = self.variable(
-            'spectral', 'v',
-            lambda: _l2_normalize(
-                jax.random.normal(jax.random.PRNGKey(1), (w_mat.shape[1],)),
-                self.eps))
+                self.eps)
+            v0 = _l2_normalize(w_sg.T @ u0, self.eps)
+            for _ in range(max(self.init_power_iters - 1, 0)):
+                u0 = _l2_normalize(w_sg @ v0, self.eps)
+                v0 = _l2_normalize(w_sg.T @ u0, self.eps)
+            return _l2_normalize(w_sg @ v0, self.eps), v0
+
+        u_var = self.variable('spectral', 'u', lambda: warm_uv()[0])
+        v_var = self.variable('spectral', 'v', lambda: warm_uv()[1])
         u, v = u_var.value, v_var.value
 
         if update_stats:

@@ -115,6 +115,7 @@ class MultiScaleEncoder(nn.Module):
     lq_stage: bool = True
     swin_mlp_ratio: float = 4.0
     use_checkpoint: bool = False
+    fused_upsample: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -141,7 +142,8 @@ class MultiScaleEncoder(nn.Module):
             for _ in range(2):
                 out_ch = CHANNEL_QUERY_DICT[res * 2]
                 x = EncoderUpBlock(out_ch, self.norm_type, self.act_type,
-                                   self.dtype, name=f'blocks_{idx}')(x, train)
+                                   self.fused_upsample, self.dtype,
+                                   name=f'blocks_{idx}')(x, train)
                 outputs.append(x)
                 res *= 2
                 idx += 1
@@ -168,6 +170,7 @@ class FeMaSRNet(nn.Module):
     use_residual: bool = True
     vq_backend: str = 'xla'
     use_checkpoint: bool = False
+    fused_upsample: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -199,7 +202,7 @@ class FeMaSRNet(nn.Module):
             input_res=self.gt_resolution // self.effective_scale_factor,
             norm_type=self.norm_type, act_type=self.act_type,
             lq_stage=self.LQ_stage, use_checkpoint=self.use_checkpoint,
-            dtype=self.dtype)
+            fused_upsample=self.fused_upsample, dtype=self.dtype)
 
         decoders = []
         out_ch = None
@@ -207,7 +210,8 @@ class FeMaSRNet(nn.Module):
             res = self.gt_resolution // 2 ** self.max_depth * 2 ** i
             out_ch = CHANNEL_QUERY_DICT[res * 2]
             decoders.append(DecoderBlock(out_ch, self.norm_type, self.act_type,
-                                         self.dtype, name=f'decoder_group_{i}'))
+                                         self.fused_upsample, self.dtype,
+                                         name=f'decoder_group_{i}'))
         self.decoder_group = decoders
         self.out_conv = conv2d(3, 3, 1, 1, dtype=self.dtype, name='out_conv')
 

@@ -38,11 +38,17 @@ class GroupNorm(nn.Module):
 
         b = x.shape[0]
         g = self.num_groups
-        # statistics in f32 (bf16-safe), normalization applied in the compute
-        # dtype so no f32 activation tensors materialize in HBM
-        xf = x.reshape(b, -1, g, c // g).astype(jnp.float32)
+        # statistics in f32 (bf16-safe). E[x] and E[x^2] are sibling
+        # reductions over the same operand, so XLA multi-output-fuses them
+        # into ONE pass over the activation (jnp.var would serialize a mean
+        # pass then a squared-deviation pass — 2x the HBM reads, which
+        # dominates at the decoder tail where activations reach 0.5-1 GB).
+        # var = E[x^2] - E[x]^2 in f32 is safe at activation magnitudes.
+        xg = x.reshape(b, -1, g, c // g)
+        xf = xg.astype(jnp.float32)
         mean = xf.mean(axis=(1, 3))                        # (B, G)
-        var = xf.var(axis=(1, 3))                          # (B, G)
+        mean2 = jnp.square(xf).mean(axis=(1, 3))           # (B, G)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.eps)                # (B, G)
         mean_c = jnp.repeat(mean, c // g, axis=1)          # (B, C)
         inv_c = jnp.repeat(inv, c // g, axis=1)            # (B, C)
@@ -189,6 +195,11 @@ def fused_upsample2x_conv3(x: jax.Array, kernel: jax.Array,
     HR activation (the HBM hog of the reference's Upsample->Conv decoder
     blocks, femasr_arch.py:195-211) never exists.
 
+    Implemented as ONE 2x2 conv with 4*O output channels over the once-padded
+    input (the 4 phases are output-channel blocks; their differing padding
+    offsets become cheap spatial slices of the shared (h+1, w+1) result) —
+    a single large MXU matmul instead of 4 small convs.
+
     kernel: (3, 3, I, O) — the SAME parameter as the plain conv path.
     """
     w = kernel
@@ -200,17 +211,21 @@ def fused_upsample2x_conv3(x: jax.Array, kernel: jax.Array,
             return jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], 1)
         return jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], 1)  # [j, j+1]
 
-    def phase(kk, pad_h, pad_w):
-        return jax.lax.conv_general_dilated(
-            x, kk.astype(x.dtype), (1, 1), (pad_h, pad_w),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    # (2, 2, I, 4O): phase p = ry*2 + rx stored as output-channel blocks
+    kk = jnp.concatenate([cols(rows0, 0), cols(rows0, 1),
+                          cols(rows1, 0), cols(rows1, 1)], axis=-1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kk.astype(x.dtype), (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))  # (b, h+1, w+1, 4O)
 
-    p00 = phase(cols(rows0, 0), (1, 0), (1, 0))
-    p01 = phase(cols(rows0, 1), (1, 0), (0, 1))
-    p10 = phase(cols(rows1, 0), (0, 1), (1, 0))
-    p11 = phase(cols(rows1, 1), (0, 1), (0, 1))
-
-    b, h, wd, o = p00.shape
+    b, hp, wp, _ = y.shape
+    h, wd = hp - 1, wp - 1
+    o = kernel.shape[-1]
+    p00 = y[:, :h, :wd, 0 * o:1 * o]   # pads (1,0),(1,0)
+    p01 = y[:, :h, 1:, 1 * o:2 * o]    # pads (1,0),(0,1)
+    p10 = y[:, 1:, :wd, 2 * o:3 * o]   # pads (0,1),(1,0)
+    p11 = y[:, 1:, 1:, 3 * o:4 * o]    # pads (0,1),(0,1)
     out = jnp.stack([p00, p01, p10, p11], axis=-1)   # (..., O, 4) 4 = ry*2+rx
     out = out.reshape(b, h, wd, o * 4)
     out = pixel_shuffle(out, 2)

@@ -42,10 +42,14 @@ def nearest_code_indices(z_flat: jax.Array, codebook: jax.Array,
     if backend == 'pallas':
         from .pallas.vq import vq_argmin
         return vq_argmin(z_flat, codebook)
-    zf = z_flat.astype(jnp.float32)
-    cb = codebook.astype(jnp.float32)
     # ||z||^2 is constant across codes -> drop it from the argmin.
-    d = jnp.sum(cb * cb, axis=1)[None, :] - 2.0 * (zf @ cb.T)
+    # The token x codebook matmul runs on the MXU in the caller's compute
+    # dtype (f32 tokens -> exact f32 path; bf16 tokens -> 8x MXU rate) with
+    # a float32 accumulator/output so the argmin compares f32 distances.
+    cb32 = codebook.astype(jnp.float32)
+    zc = jnp.einsum('nc,ec->ne', z_flat, codebook.astype(z_flat.dtype),
+                    preferred_element_type=jnp.float32)
+    d = jnp.sum(cb32 * cb32, axis=1)[None, :] - 2.0 * zc
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
@@ -93,7 +97,7 @@ def vector_quantize(z: jax.Array,
     cb32 = codebook.astype(jnp.float32)
 
     indices = nearest_code_indices(
-        jax.lax.stop_gradient(zf32.reshape(-1, c)), cb32, backend=backend)
+        jax.lax.stop_gradient(z.reshape(-1, c)), codebook, backend=backend)
     z_q = jnp.take(cb32, indices, axis=0).reshape(b, h, w, c)
 
     if gt_indices is not None:

@@ -145,25 +145,47 @@ class WindowAttention(nn.Module):
 
         qkv = dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                     name='qkv')(x)
-        qkv = qkv.reshape(b_, n, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
+        # slice q/k/v out of the fused projection instead of materializing a
+        # (3, B_, nh, N, hd) transpose of the whole tensor; the per-head
+        # split stays in the (B_, N, nh, hd) layout and the einsums carry
+        # the head dim as a batch dim (XLA folds the layout into the dot).
+        qkv = qkv.reshape(b_, n, 3, nh, head_dim)
+        q = qkv[:, :, 0] * scale   # (B_, N, nh, hd)
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
 
-        attn = jnp.einsum('bhnd,bhmd->bhnm', q * scale, k,
-                          preferred_element_type=jnp.float32)
+        # In float32 models the attention tensor is exact reference
+        # semantics (f32 logits + f32 softmax). In reduced-precision models
+        # the (B_*nh, N, N) logits tensor is stored in the compute dtype —
+        # it is the single largest tensor in the block (134 MB f32 at 256px)
+        # and storing it bf16 halves the attention unit's wall time; the MXU
+        # still accumulates the q.k products in f32 internally, and the
+        # softmax normalizer is accumulated in f32 below.
+        acc_dtype = (jnp.float32 if self.dtype == jnp.float32 else self.dtype)
+        attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
+                          preferred_element_type=acc_dtype)
 
         rpi = relative_position_index(*self.window_size).reshape(-1)
         bias = table[rpi].reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
-        attn = attn + bias[None]
+        attn = attn + bias[None].astype(acc_dtype)
 
         if mask is not None:
             nw = mask.shape[0]
-            mask_c = jnp.asarray(mask, dtype=jnp.float32)
+            mask_c = jnp.asarray(mask, dtype=acc_dtype)
             attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask_c[None, :, None]
             attn = attn.reshape(b_, nh, n, n)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        if acc_dtype == jnp.float32:
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        else:
+            # numerically-guarded low-precision softmax: max-shift and a
+            # float32-accumulated normalizer, storage stays in acc_dtype
+            attn_max = jax.lax.stop_gradient(
+                jnp.max(attn, axis=-1, keepdims=True))
+            e = jnp.exp(attn - attn_max)
+            s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            attn = e / s.astype(acc_dtype)
+        out = jnp.einsum('bhnm,bmhd->bnhd', attn, v).reshape(b_, n, c)
         return dense(c, dtype=self.dtype, name='proj')(out)
 
 

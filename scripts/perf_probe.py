@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Relay-aware perf probe for the x4 FeMaSR generator.
+
+Usage: timeout 500 python scripts/perf_probe.py TILE [BATCH] [--fused] [--iters N]
+
+Honest-measurement methodology per CLAUDE.md: distinct inputs per dispatch
+(the relay serves identical dispatches from a cache), synchronization by
+fetching a scalar reduction to the host, pipelined dispatch so relay
+round-trip latency overlaps with compute. Run under `timeout` — a wedged
+relay or stalled remote compile must not block the session.
+"""
+import argparse
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('tile', type=int)
+    ap.add_argument('batch', type=int, nargs='?', default=1)
+    ap.add_argument('--fused', action='store_true')
+    ap.add_argument('--iters', type=int, default=8)
+    ap.add_argument('--compile-only', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    cache_dir = os.path.expanduser('~/.cache/femasr_tpu/jax_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    import jax.numpy as jnp
+
+    from femasr_tpu.models import FeMaSRNet
+
+    model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
+                      scale_factor=4, norm_type='gn', act_type='silu',
+                      fused_upsample=args.fused, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.tile, args.tile, 3), jnp.bfloat16))['params']
+
+    @jax.jit
+    def forward(params, x):
+        out, _, _, _ = model.apply({'params': params}, x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    shape = (args.batch, args.tile, args.tile, 3)
+    t0 = time.perf_counter()
+    compiled = forward.lower(params, jnp.zeros(shape, jnp.bfloat16)).compile()
+    print(f'compile: {time.perf_counter() - t0:.1f}s', flush=True)
+    cost = compiled.cost_analysis()
+    if cost and 'flops' in cost:
+        print(f'flops: {float(cost["flops"]) / 1e12:.3f} TFLOP', flush=True)
+    if args.compile_only:
+        return
+
+    xs = [jax.random.uniform(jax.random.PRNGKey(100 + i), shape, jnp.bfloat16)
+          for i in range(args.iters)]
+    print(f'warmup: {float(forward(params, xs[0])):.2f}', flush=True)
+    t0 = time.perf_counter()
+    results = [forward(params, x) for x in xs]
+    _ = [float(r) for r in results]
+    dt = (time.perf_counter() - t0) / len(xs)
+    mps = args.batch * args.tile * args.tile / 1e6 / dt
+    eff = (float(cost['flops']) / dt / 1e12) if cost and 'flops' in cost else 0
+    print(f'tile={args.tile} batch={args.batch} fused={args.fused}: '
+          f'{dt * 1e3:.1f} ms/iter -> {mps:.3f} MP/s, {eff:.1f} TFLOP/s eff',
+          flush=True)
+
+
+if __name__ == '__main__':
+    main()

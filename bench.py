@@ -21,13 +21,14 @@ uses a distinct input and the batch is synchronized by fetching scalar
 reductions to the host (relay round-trip overlaps with compute in the
 pipelined pattern).
 
-vs_baseline estimates the reference PyTorch implementation on one H100: the
-generator costs F FLOPs per 512x512 input tile (XLA cost analysis). The
-reference runs fp32/TF32 cuDNN without AMP or torch.compile
-(inference_femasr.py:39-41); we credit it 25% of the 495 TFLOP/s TF32 peak
-(123.75 TFLOP/s) on this conv+window-attention mix — generous for an
-eager-mode, batch-1, NCHW fp32 torch loop (see NOTES_ROUND2.md for the
-derivation).
+vs_baseline compares against a bottom-up estimate of the reference PyTorch
+implementation on one H100 SXM: eager fp32/NCHW batch-1
+(inference_femasr.py:39-63), TF32 cuDNN convs (~35% of 494.5 TF/s dense),
+FP32-CUDA-core Swin linears (torch matmul TF32 is off by default), fp32
+eager elementwise round-trips — ~186 ms per 512px tile, rounded UP in the
+reference's favor to 1.5 MP/s. Full derivation: NOTES_ROUND2.md. (The
+round-1 lumped 25%-of-TF32-peak model gave 2.6 MP/s but credited eager fp32
+linears/attention with tensor-core throughput they cannot reach.)
 """
 
 import json
@@ -36,9 +37,8 @@ import subprocess
 import sys
 import time
 
-H100_TF32_PEAK = 495e12
-H100_ASSUMED_UTIL = 0.25
-N_ITER = 6
+H100_PYTORCH_BASELINE_MPS = 1.5   # see NOTES_ROUND2.md derivation
+N_ITER = 8
 
 TOTAL_BUDGET_S = 570          # hard wall budget for the whole script
 PROBE_BUDGET_S = 60
@@ -188,25 +188,21 @@ def _child(tile):
         if mps > best_mps:
             best_mps, best_batch = mps, batch
 
-    mp_per_tile = tile * tile / 1e6
+    baseline_mps = H100_PYTORCH_BASELINE_MPS
     if flops_per_tile:
-        baseline_mps = (H100_TF32_PEAK * H100_ASSUMED_UTIL
-                        / (flops_per_tile / mp_per_tile))
         print(f'# {flops_per_tile / 1e12:.2f} TFLOP / {tile}px tile; '
-              f'assumed H100-PyTorch baseline {baseline_mps:.2f} MP/s',
-              flush=True)
-    else:
-        baseline_mps = float('nan')
+              f'H100-PyTorch baseline {baseline_mps:.2f} MP/s '
+              '(NOTES_ROUND2.md)', flush=True)
 
     result = {
         'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
         'value': round(best_mps, 3),
-        'unit': (f'MP/s (input pixels), bf16, batch {best_batch}'
+        'unit': (f'MP/s (input pixels), bf16, batch {best_batch}, vs '
+                 'bottom-up 1.5 MP/s H100-PyTorch-eager baseline'
                  + ('' if tile == 512 else
                     f', FALLBACK {tile}px tiles (512px failed on this '
                     'relay)')),
-        'vs_baseline': round(best_mps / baseline_mps, 3)
-        if np.isfinite(baseline_mps) else None,
+        'vs_baseline': round(best_mps / baseline_mps, 3),
     }
     print(json.dumps(result), flush=True)
 

@@ -58,3 +58,27 @@ def test_vq_argmin_chunked_codebook():
     ref = nearest_code_indices(z, cb, backend='xla')
     ours = vq_argmin(z, cb, tn=128, max_codes_vmem=256, interpret=True)
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_vq_argmin_lowers_to_mosaic_tpu():
+    """Native (non-interpret) lowering through the Mosaic TPU pipeline.
+
+    Interpret mode does not validate Mosaic lowering, VMEM sizing, or the
+    (8, 128) tiling constraints; AOT-lowering for the 'tpu' platform from
+    the CPU host does (execution on the axon relay is separately gated —
+    it hangs the relay's tpu_custom_call path, see CLAUDE.md/NOTES).
+    """
+    z = jnp.zeros((2048, 512), jnp.float32)
+    cb = jnp.zeros((1024, 512), jnp.float32)   # release codebook shape
+    traced = jax.jit(lambda z, cb: vq_argmin(z, cb)).trace(z, cb)
+    text = traced.lower(lowering_platforms=('tpu',)).as_text()
+    assert 'tpu_custom_call' in text
+
+
+def test_vq_argmin_model_shape_lowers_to_mosaic():
+    # 512px x4 inference tile: 65536 tokens against the full codebook
+    z = jnp.zeros((65536, 512), jnp.bfloat16)
+    cb = jnp.zeros((1024, 512), jnp.float32)
+    traced = jax.jit(lambda z, cb: vq_argmin(z, cb)).trace(z, cb)
+    assert 'tpu_custom_call' in traced.lower(
+        lowering_platforms=('tpu',)).as_text()

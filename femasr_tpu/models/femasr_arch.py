@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.layers import CombineQuantBlock, ResBlock, UpConv3, conv2d
+from ..ops.layers import (ActLayer, CombineQuantBlock, GroupNormS2D,
+                          ResBlock, UpConv3, conv2d, conv3_s2d,
+                          pixel_shuffle_phase_major, upconv3_s2d)
 from ..ops.quantize import VectorQuantizer
 from ..ops.swin import SwinLayers
 from ..utils.registry import ARCH_REGISTRY
@@ -101,6 +103,103 @@ class DecoderBlock(nn.Module):
         return x
 
 
+class NormLayerS2D(nn.Module):
+    """NormLayer in the S2D domain (gn only — the release config)."""
+    channels: int
+    norm_type: str = 'gn'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.norm_type.lower() == 'gn', (
+            's2d decoder tail supports norm_type=gn only')
+        return GroupNormS2D(num_groups=32, eps=1e-6, dtype=self.dtype,
+                            name='norm')(x)
+
+
+class ResBlockS2D(nn.Module):
+    """ResBlock evaluated on the phase-major S2D tensor.
+
+    Exact re-association of ResBlock (fema_utils.py:65-84) on the 2x2
+    space-to-depth packing; parameter tree identical to ResBlock, so the
+    two are checkpoint-interchangeable.
+    """
+    channel: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channel
+        res = NormLayerS2D(c, self.norm_type, self.dtype,
+                           name='norm1')(x, train)
+        res = ActLayer(c, self.act_type, self.dtype, name='act1')(res)
+        k1 = Conv3S2D(c, dtype=self.dtype, name='conv1')
+        res = k1(res)
+        res = NormLayerS2D(c, self.norm_type, self.dtype,
+                           name='norm2')(res, train)
+        res = ActLayer(c, self.act_type, self.dtype, name='act2')(res)
+        res = Conv3S2D(c, dtype=self.dtype, name='conv2')(res)
+        return res + x
+
+
+class Conv3S2D(nn.Module):
+    """3x3 SAME HR conv on the S2D tensor; params match conv2d(features, 3)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1] // 4
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return conv3_s2d(x.astype(self.dtype), kernel.astype(self.dtype),
+                         bias)
+
+
+class UpConv3S2D(nn.Module):
+    """nearest-2x upsample + 3x3 conv emitting the S2D form; params match
+    UpConv3 (kernel (3,3,I,O) + bias)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return upconv3_s2d(x.astype(self.dtype), kernel.astype(self.dtype),
+                           bias)
+
+
+class DecoderBlockS2D(nn.Module):
+    """DecoderBlock evaluated in the space-to-depth domain.
+
+    Takes the normal (B, H, W, C_in) input; the fused upsample emits the
+    (B, H, W, 4*out_ch) phase-major S2D form directly (no HR activation is
+    ever materialized) and the ResBlocks stay in that domain. Param tree
+    identical to DecoderBlock — checkpoint-interchangeable.
+    """
+    out_ch: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = UpConv3S2D(self.out_ch, dtype=self.dtype, name='conv')(x)
+        x = ResBlockS2D(self.out_ch, self.norm_type, self.act_type,
+                        self.dtype, name='res1')(x, train)
+        x = ResBlockS2D(self.out_ch, self.norm_type, self.act_type,
+                        self.dtype, name='res2')(x, train)
+        return x
+
+
 class MultiScaleEncoder(nn.Module):
     """in_conv + stride-2 down blocks (+ SwinLayers + 2 up blocks in LQ stage).
 
@@ -171,6 +270,9 @@ class FeMaSRNet(nn.Module):
     vq_backend: str = 'xla'
     use_checkpoint: bool = False
     fused_upsample: bool = False
+    # evaluate the last decoder level + out_conv in the 2x2 space-to-depth
+    # domain (exact math, ~1.5x faster C=64 convs on the MXU); requires gn
+    s2d_tail: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -209,11 +311,21 @@ class FeMaSRNet(nn.Module):
         for i in range(self.max_depth):
             res = self.gt_resolution // 2 ** self.max_depth * 2 ** i
             out_ch = CHANNEL_QUERY_DICT[res * 2]
-            decoders.append(DecoderBlock(out_ch, self.norm_type, self.act_type,
-                                         self.fused_upsample, self.dtype,
-                                         name=f'decoder_group_{i}'))
+            if self.s2d_tail and i == self.max_depth - 1:
+                decoders.append(DecoderBlockS2D(
+                    out_ch, self.norm_type, self.act_type, self.dtype,
+                    name=f'decoder_group_{i}'))
+            else:
+                decoders.append(DecoderBlock(
+                    out_ch, self.norm_type, self.act_type,
+                    self.fused_upsample, self.dtype,
+                    name=f'decoder_group_{i}'))
         self.decoder_group = decoders
-        self.out_conv = conv2d(3, 3, 1, 1, dtype=self.dtype, name='out_conv')
+        if self.s2d_tail:
+            self.out_conv = Conv3S2D(3, dtype=self.dtype, name='out_conv')
+        else:
+            self.out_conv = conv2d(3, 3, 1, 1, dtype=self.dtype,
+                                   name='out_conv')
 
         quantizers, before_quant, after_quant = [], [], []
         for scale in range(len(params)):
@@ -309,6 +421,8 @@ class FeMaSRNet(nn.Module):
             prev_dec_feat = out
 
         out_img = self.out_conv(out)
+        if self.s2d_tail:
+            out_img = pixel_shuffle_phase_major(out_img)
 
         codebook_loss = sum(codebook_loss_list)
         semantic_loss = (sum(semantic_loss_list) if semantic_loss_list
@@ -321,7 +435,10 @@ class FeMaSRNet(nn.Module):
         x = self.after_quant_group[0](z_quant)
         for dec in self.decoder_group:
             x = dec(x)
-        return self.out_conv(x)
+        x = self.out_conv(x)
+        if self.s2d_tail:
+            x = pixel_shuffle_phase_major(x)
+        return x
 
     def __call__(self, x: jax.Array,
                  gt_indices: Optional[Sequence[jax.Array]] = None,

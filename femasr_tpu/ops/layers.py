@@ -234,6 +234,166 @@ def fused_upsample2x_conv3(x: jax.Array, kernel: jax.Array,
     return out
 
 
+# ---------------------------------------------------------------------------
+# space-to-depth (S2D) evaluation of the decoder tail
+#
+# The last decoder level runs 3x3 convs on (2H, 2W, C) maps with C=64 — the
+# MXU is half-empty in the lane dim and XLA reaches ~33 TF/s there. The SAME
+# function evaluated on the 2x2 space-to-depth packing (H, W, 4C) as 2x2
+# convs over 4C->4O channels reaches ~129 TF/s (measured; NOTES_ROUND2.md).
+# Layout convention: phase-MAJOR channels, channel = (py*2+px)*C + c, where
+# (py, px) is the within-2x2 position. All helpers below are mathematically
+# exact re-associations of the HR ops (parity-tested to float tolerance).
+# ---------------------------------------------------------------------------
+
+def s2d_phase_slices(y: jax.Array, o: int) -> jax.Array:
+    """Re-align the 4 phase blocks of a padded S2D conv output.
+
+    y: (B, h+1, w+1, 4O) from a pad-1 VALID 2x2 conv; phase p=py*2+px lives
+    in channels [p*O:(p+1)*O] and needs spatial offset (py, px). Returns
+    (B, h, w, 4O) phase-major. XLA fuses the concat-of-slices into the
+    consumer, so this costs no extra HBM pass.
+    """
+    b, hp, wp, _ = y.shape
+    h, w = hp - 1, wp - 1
+    return jnp.concatenate([
+        y[:, :h, :w, 0 * o:1 * o],
+        y[:, :h, 1:, 1 * o:2 * o],
+        y[:, 1:, :w, 2 * o:3 * o],
+        y[:, 1:, 1:, 3 * o:4 * o],
+    ], axis=-1)
+
+
+def upconv3_s2d(x: jax.Array, kernel: jax.Array,
+                bias: Optional[jax.Array] = None) -> jax.Array:
+    """nearest-2x-upsample + 3x3 conv, emitting the S2D (phase-major) form.
+
+    Same math as fused_upsample2x_conv3 but WITHOUT the final pixel shuffle:
+    the output (B, H, W, 4O) stays in the space-to-depth domain for the
+    downstream S2D ResBlocks. kernel: (3, 3, I, O).
+    """
+    w = kernel
+    rows0 = jnp.stack([w[0], w[1] + w[2]], 0)
+    rows1 = jnp.stack([w[0] + w[1], w[2]], 0)
+
+    def cols(wr, rx):
+        if rx == 0:
+            return jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], 1)
+        return jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], 1)
+
+    kk = jnp.concatenate([cols(rows0, 0), cols(rows0, 1),
+                          cols(rows1, 0), cols(rows1, 1)], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        x, kk.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    out = s2d_phase_slices(y, kernel.shape[-1])
+    if bias is not None:
+        out = out + jnp.tile(bias, 4).astype(out.dtype)
+    return out
+
+
+# tap tables: ROWMAP[py][r'][qy] = HR kernel row (or -1) contributing to
+# out-phase py from LR row offset r' and in-phase qy. Derived from
+# HR[2i+py+u] = S2D[i + a, phase (py+u) mod 2] with a = (py+u)//2; the
+# py=0 slice covers a in {-1, 0} (base row 0 of the padded conv), py=1
+# covers a in {0, 1} (base row 1) — exactly the s2d_phase_slices offsets.
+_S2D_TAPMAP = (((-1, 0), (1, 2)),   # py=0: r'=0 -> (qy0:none, qy1:w0); r'=1 -> (w1, w2)
+               ((0, 1), (2, -1)))   # py=1: r'=0 -> (w0, w1); r'=1 -> (w2, none)
+
+
+def _s2d_kernel_from_hr(kernel: jax.Array) -> jax.Array:
+    """(3, 3, I, O) HR conv kernel -> (2, 2, 4I, 4O) S2D kernel (phase-major)."""
+    i_ch, o_ch = kernel.shape[2], kernel.shape[3]
+    zeros = jnp.zeros((i_ch, o_ch), kernel.dtype)
+    rows = []
+    for rp in range(2):           # LR row offset r'
+        cols_out = []
+        for cp in range(2):       # LR col offset c'
+            # block matrix over (in-phase) x (out-phase)
+            out_blocks = []
+            for py in range(2):
+                for px in range(2):
+                    in_blocks = []
+                    for qy in range(2):
+                        for qx in range(2):
+                            u = _S2D_TAPMAP[py][rp][qy]
+                            v = _S2D_TAPMAP[px][cp][qx]
+                            in_blocks.append(zeros if (u < 0 or v < 0)
+                                             else kernel[u, v])
+                    out_blocks.append(jnp.concatenate(in_blocks, axis=0))
+            cols_out.append(jnp.concatenate(out_blocks, axis=1))
+        rows.append(jnp.stack(cols_out, axis=0))
+    return jnp.stack(rows, axis=0)   # (2, 2, 4I, 4O)
+
+
+def conv3_s2d(x_s2d: jax.Array, kernel: jax.Array,
+              bias: Optional[jax.Array] = None) -> jax.Array:
+    """3x3 SAME HR conv evaluated on the S2D tensor (phase-major).
+
+    x_s2d: (B, H, W, 4I); kernel: (3, 3, I, O) — the SAME parameter as the
+    plain HR conv. Returns (B, H, W, 4O) phase-major.
+    """
+    kk = _s2d_kernel_from_hr(kernel).astype(x_s2d.dtype)
+    y = jax.lax.conv_general_dilated(
+        x_s2d, kk, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    out = s2d_phase_slices(y, kernel.shape[-1])
+    if bias is not None:
+        out = out + jnp.tile(bias, 4).astype(out.dtype)
+    return out
+
+
+def pixel_shuffle_phase_major(x: jax.Array) -> jax.Array:
+    """(B, H, W, 4C) phase-major S2D -> (B, 2H, 2W, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class GroupNormS2D(nn.Module):
+    """GroupNorm over HR channels, evaluated on the phase-major S2D tensor.
+
+    Parameter names/shapes identical to GroupNorm ((C,) over HR channels),
+    so checkpoints interchange. The 4 phases are spatial positions of the
+    same HR channel, so they join the (H, W) statistic axes.
+    """
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c4 = x.shape[-1]
+        c = c4 // 4
+        g = self.num_groups
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+
+        b = x.shape[0]
+        # two-level reduction: per-S2D-channel spatial means first (keeps
+        # the channel axis in the lane dimension — a direct (.., G, C/G)
+        # reshape materializes with a 2-wide lane dim and 64x padding
+        # waste, which OOMs at the decoder tail), then fold the tiny
+        # (B, 4C) result into HR channel groups. Equal counts per channel
+        # make the mean-of-means exact.
+        xf = x.astype(jnp.float32)
+        m1 = xf.mean(axis=tuple(range(1, x.ndim - 1)))          # (B, 4C)
+        m2 = jnp.square(xf).mean(axis=tuple(range(1, x.ndim - 1)))
+        mean = m1.reshape(b, 4, g, c // g).mean(axis=(1, 3))    # (B, G)
+        mean2 = m2.reshape(b, 4, g, c // g).mean(axis=(1, 3))
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.eps)
+        mean_c = jnp.tile(jnp.repeat(mean, c // g, axis=1), (1, 4))  # (B, 4C)
+        inv_c = jnp.tile(jnp.repeat(inv, c // g, axis=1), (1, 4))
+        shape = (b,) + (1,) * (x.ndim - 2) + (c4,)
+        mul = (inv_c.reshape(shape) * jnp.tile(scale, 4)).astype(self.dtype)
+        sub = mean_c.reshape(shape).astype(self.dtype)
+        return (x.astype(self.dtype) - sub) * mul + jnp.tile(
+            bias, 4).astype(self.dtype)
+
+
 def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Nearest resize to arbitrary (H, W) matching torch F.interpolate(mode='nearest').
 

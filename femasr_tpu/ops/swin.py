@@ -126,6 +126,10 @@ class WindowAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    # 'xla' (default) or 'pallas' — the fused VMEM-resident kernel
+    # (ops/pallas/window_attention.py); pallas is unvalidated on this
+    # harness's relay, keep opt-in (same policy as vq_backend)
+    backend: str = 'xla'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -145,6 +149,25 @@ class WindowAttention(nn.Module):
 
         qkv = dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                     name='qkv')(x)
+
+        rpi_flat = relative_position_index(*self.window_size).reshape(-1)
+
+        if self.backend == 'pallas':
+            from .pallas.window_attention import window_attention_fused
+            q = qkv[..., :c] * scale
+            k = qkv[..., c:2 * c]
+            v = qkv[..., 2 * c:]
+            bias_p = table[rpi_flat].reshape(n, n, nh).transpose(2, 0, 1)
+            mask_p = None
+            if mask is not None:
+                nw = mask.shape[0]
+                mask_p = jnp.tile(jnp.asarray(mask, dtype=self.dtype),
+                                  (b_ // nw, 1, 1))
+            tw = next(t for t in (16, 8, 4, 2, 1) if b_ % t == 0)
+            out = window_attention_fused(q, k, v, bias_p, mask_p,
+                                         num_heads=nh, tw=tw)
+            return dense(c, dtype=self.dtype, name='proj')(out)
+
         # slice q/k/v out of the fused projection instead of materializing a
         # (3, B_, nh, N, hd) transpose of the whole tensor; the per-head
         # split stays in the (B_, N, nh, hd) layout and the einsums carry
@@ -165,8 +188,7 @@ class WindowAttention(nn.Module):
         attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
                           preferred_element_type=acc_dtype)
 
-        rpi = relative_position_index(*self.window_size).reshape(-1)
-        bias = table[rpi].reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
+        bias = table[rpi_flat].reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
         attn = attn + bias[None].astype(acc_dtype)
 
         if mask is not None:
@@ -204,6 +226,7 @@ class SwinTransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    attn_backend: str = 'xla'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -230,7 +253,8 @@ class SwinTransformerBlock(nn.Module):
         attn_windows = WindowAttention(
             dim=self.dim, window_size=(window_size, window_size),
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, dtype=self.dtype, name='attn')(
+            qk_scale=self.qk_scale, backend=self.attn_backend,
+            dtype=self.dtype, name='attn')(
                 x_windows, mask=mask)
         x = window_reverse(attn_windows, window_size, h, w)
 
@@ -259,6 +283,7 @@ class BasicLayer(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     use_checkpoint: bool = False
+    attn_backend: str = 'xla'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -273,7 +298,8 @@ class BasicLayer(nn.Module):
                 num_heads=self.num_heads, window_size=self.window_size,
                 shift_size=0 if (i % 2 == 0) else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                qk_scale=self.qk_scale, dtype=self.dtype, name=f'blocks_{i}')(x)
+                qk_scale=self.qk_scale, attn_backend=self.attn_backend,
+                dtype=self.dtype, name=f'blocks_{i}')(x)
         return x
 
 
@@ -293,6 +319,7 @@ class RSTB(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     use_checkpoint: bool = False
+    attn_backend: str = 'xla'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -301,7 +328,8 @@ class RSTB(nn.Module):
                        depth=self.depth, num_heads=self.num_heads,
                        window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                        qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                       use_checkpoint=self.use_checkpoint, dtype=self.dtype,
+                       use_checkpoint=self.use_checkpoint,
+                       attn_backend=self.attn_backend, dtype=self.dtype,
                        name='residual_group')(x)
         y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=jnp.float32, name='conv')(y)
@@ -316,6 +344,7 @@ class SwinLayers(nn.Module):
     num_heads: int = 8
     window_size: int = 8
     mlp_ratio: float = 4.0
+    attn_backend: str = 'xla'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -325,5 +354,6 @@ class SwinLayers(nn.Module):
                      input_resolution=tuple(self.input_resolution),
                      depth=self.blk_depth, num_heads=self.num_heads,
                      window_size=self.window_size, mlp_ratio=self.mlp_ratio,
-                     dtype=self.dtype, name=f'swin_blks_{i}')(x)
+                     attn_backend=self.attn_backend, dtype=self.dtype,
+                     name=f'swin_blks_{i}')(x)
         return x

@@ -23,6 +23,7 @@ def main():
     ap.add_argument('tile', type=int)
     ap.add_argument('batch', type=int, nargs='?', default=1)
     ap.add_argument('--fused', action='store_true')
+    ap.add_argument('--s2d', action='store_true')
     ap.add_argument('--iters', type=int, default=8)
     ap.add_argument('--compile-only', action='store_true')
     args = ap.parse_args()
@@ -38,7 +39,8 @@ def main():
 
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
-                      fused_upsample=args.fused, dtype=jnp.bfloat16)
+                      fused_upsample=args.fused, s2d_tail=args.s2d,
+                      dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, args.tile, args.tile, 3), jnp.bfloat16))['params']
@@ -67,7 +69,8 @@ def main():
     dt = (time.perf_counter() - t0) / len(xs)
     mps = args.batch * args.tile * args.tile / 1e6 / dt
     eff = (float(cost['flops']) / dt / 1e12) if cost and 'flops' in cost else 0
-    print(f'tile={args.tile} batch={args.batch} fused={args.fused}: '
+    print(f'tile={args.tile} batch={args.batch} fused={args.fused} '
+          f's2d={args.s2d}: '
           f'{dt * 1e3:.1f} ms/iter -> {mps:.3f} MP/s, {eff:.1f} TFLOP/s eff',
           flush=True)
 

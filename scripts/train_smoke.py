@@ -162,7 +162,7 @@ def parse_losses(root, exp_name):
         with open(lf) as f:
             for line in f:
                 found = dict((k, float(v)) for k, v in LOSS_RE.findall(line))
-                if found:
+                if 'l_g_total' in found:   # real iteration lines only
                     rows.append(found)
     return rows
 

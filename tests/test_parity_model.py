@@ -161,3 +161,37 @@ def test_fused_upsample_model_equivalence():
     assert out_plain.shape == out_fused.shape == (1, 16, 16, 64)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
                                atol=5e-5)
+
+
+def test_s2d_tail_model_equivalence():
+    """FeMaSRNet(s2d_tail=True) == default path on the same params.
+
+    The space-to-depth tail re-associates the last decoder level's convs
+    onto a (H, W, 4C) packing (ops/layers.py conv3_s2d) — exact math up to
+    float reduction order.
+    """
+    from femasr_tpu.models.femasr_arch import (DecoderBlock, DecoderBlockS2D,
+                                               pixel_shuffle_phase_major)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 8, 128))
+    blk = DecoderBlock(out_ch=64)
+    params = blk.init(jax.random.PRNGKey(1), x)['params']
+    out_plain = blk.apply({'params': params}, x)
+    blk_s2d = DecoderBlockS2D(out_ch=64)
+    out_s2d = pixel_shuffle_phase_major(blk_s2d.apply({'params': params}, x))
+    assert out_plain.shape == out_s2d.shape == (1, 16, 16, 64)
+    np.testing.assert_allclose(np.asarray(out_s2d), np.asarray(out_plain),
+                               atol=2e-5, rtol=2e-5)
+
+    net = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
+                    scale_factor=4, norm_type='gn', act_type='silu')
+    xi = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 3))
+    variables = net.init(jax.random.PRNGKey(3), xi)
+    ref, _, _, idx_ref = net.apply(variables, xi)
+    net_s2d = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
+                        scale_factor=4, norm_type='gn', act_type='silu',
+                        s2d_tail=True)
+    out, _, _, idx = net_s2d.apply(variables, xi)
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(idx[0]), np.asarray(idx_ref[0]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

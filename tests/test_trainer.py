@@ -252,27 +252,35 @@ def test_lq_stage_on_device_degradation(hq_run, data_root, tmp_path_factory):
     assert model.output.shape == (1, 64, 64, 3)
 
 
-def test_save_network_retries_then_warns(tmp_path, capfd):
+def test_save_network_retries_then_warns(tmp_path):
     """Write failures retry 3x with a warning, never raise
     (reference base_model.py:241-256)."""
     import time as _time
     from unittest import mock
 
+    from femasr_tpu.train import base_model as bm
     from femasr_tpu.train.base_model import BaseModel
 
     model = BaseModel({'path': {'models': str(tmp_path / 'nope')},
                        'is_train': True})
     calls = []
+    warnings = []
 
     def boom(tree, path):
         calls.append(path)
         raise OSError('disk on fire')
 
+    # capture through the logger object itself: the root logger's handlers
+    # are process-cached and earlier tests may have pointed them at a file,
+    # so capfd/caplog are unreliable across the full suite
+    logger = bm.get_root_logger()
     with mock.patch('femasr_tpu.train.base_model.save_pytree', boom), \
-            mock.patch.object(_time, 'sleep'):
+            mock.patch.object(_time, 'sleep'), \
+            mock.patch.object(logger, 'warning',
+                              side_effect=lambda msg, *a: warnings.append(msg)):
         model.save_network({'w': np.zeros(2)}, 'net_g', 5)  # must not raise
     assert len(calls) == 3
-    assert 'Still cannot save' in capfd.readouterr().err
+    assert any('Still cannot save' in w for w in warnings)
 
 
 def test_load_network_url_autodownload(tmp_path):

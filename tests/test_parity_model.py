@@ -195,3 +195,54 @@ def test_s2d_tail_model_equivalence():
     np.testing.assert_array_equal(np.asarray(idx[0]), np.asarray(idx_ref[0]))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_discriminator_init_magnitude_sane():
+    """Spectral norm must actually constrain the fresh discriminator.
+
+    With a cold power iteration (random u, one step) the sigma of each of
+    the 9 SN convs is underestimated and the composed amplification reaches
+    ~1e13 at init (round-1 dryrun); the warm-started iteration keeps D
+    outputs O(1), so hinge-GAN losses start at sane magnitudes.
+    """
+    disc = UNetDiscriminatorSN(num_in_ch=3)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    variables = disc.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(disc.apply(variables, x))
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() < 50.0, f'|D(x)| at init: {np.abs(out).max()}'
+
+
+@pytest.mark.parametrize('lq_stage', [False, True])
+def test_femasr_multiscale_codebook_parity(lq_stage):
+    """Two codebook scales ([[32,..],[64,..]]): exercises the multi-codebook
+    wiring — prev_dec_feat concat into before_quant, CombineQuantBlock's
+    second input, per-scale indices (reference femasr_arch.py:276-299,
+    330-369)."""
+    codebook = [[32, 16, 32], [64, 16, 16]]
+    femasr_arch = load_reference_module('basicsr.archs.femasr_arch')
+    tnet = femasr_arch.FeMaSRNet(
+        codebook_params=codebook, LQ_stage=lq_stage, scale_factor=4,
+        norm_type='gn', act_type='silu', use_semantic_loss=False).eval()
+    sd = state_dict_to_numpy(tnet.state_dict())
+    loaded = convert_femasr_checkpoint(
+        sd, codebook_params=codebook, LQ_stage=lq_stage, scale_factor=4,
+        act_type='silu')
+
+    jnet = FeMaSRNet(codebook_params=codebook, LQ_stage=lq_stage,
+                     scale_factor=4, norm_type='gn', act_type='silu')
+    in_hw = 32 if lq_stage else 64
+    x = torch.rand(1, 3, in_hw, in_hw)
+    with torch.no_grad():
+        ref_out, _, _, ref_idx = tnet(x)
+
+    init = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, in_hw, in_hw, 3)))
+    params = merge_params(init['params'], loaded)
+    out, _, _, idx = jnet.apply({'params': params}, jnp.asarray(to_nhwc(x)))
+    assert len(idx) == 2 and len(ref_idx) == 2
+    for ours, theirs in zip(idx, ref_idx):
+        np.testing.assert_array_equal(
+            np.asarray(ours).reshape(-1),
+            theirs.detach().numpy().reshape(-1))
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref_out),
+                               atol=2e-4, rtol=2e-3)

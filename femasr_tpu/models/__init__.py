@@ -25,5 +25,10 @@ def build_network(opt):
     network_type = opt.pop('type')
     # keys consumed by the trainer, not the module
     opt.pop('frozen_module_keywords', None)
+    # YAML `dtype: bfloat16` -> compute-dtype mixed precision (params,
+    # norm statistics and losses stay f32 by module convention)
+    if isinstance(opt.get('dtype'), str):
+        import jax.numpy as jnp
+        opt['dtype'] = jnp.dtype(opt['dtype']).type
     net = ARCH_REGISTRY.get(network_type)(**opt)
     return net

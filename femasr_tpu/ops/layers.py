@@ -114,8 +114,11 @@ class ActLayer(nn.Module):
         if at == 'silu':
             return nn.silu(x)
         if at == 'gelu':
-            # torch nn.GELU() default is the exact (erf) formulation
-            return nn.gelu(x, approximate=False)
+            # torch nn.GELU() default is the exact (erf) formulation; in
+            # reduced precision the tanh approximation (error ~1e-3, below
+            # bf16 rounding) skips the costly erf polynomial (see ops/swin.py
+            # Mlp for the measurement)
+            return nn.gelu(x, approximate=self.dtype != jnp.float32)
         if at == 'none':
             return x
         raise ValueError(f'activation type {self.act_type} not supported.')

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Training-step throughput probe (LQ stage, on-device degradation).
+
+Measures steps/s of the single jitted G+D train step at a given gt size /
+batch / compute dtype on the live chip, with the relay-honest methodology.
+
+Usage: timeout 580 python scripts/train_step_probe.py [--gt 256] [--batch 8]
+           [--dtype float32|bfloat16] [--iters 6] [--hq]
+"""
+import argparse
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--gt', type=int, default=256)
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--dtype', default='float32')
+    ap.add_argument('--iters', type=int, default=6)
+    ap.add_argument('--hq', action='store_true',
+                    help='HQ pretrain stage instead of LQ')
+    ap.add_argument('--sync_every_step', action='store_true',
+                    help='fetch the loss dict every step (print_freq=1 '
+                         'behavior) instead of once at the end')
+    args = ap.parse_args()
+
+    import jax
+    cache_dir = os.path.expanduser('~/.cache/femasr_tpu/jax_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    import numpy as np
+
+    from femasr_tpu.train import build_model
+    from femasr_tpu.utils.checkpoint import save_pytree, to_host
+    from femasr_tpu.utils.options import yaml_load
+
+    tmp = '/tmp/femasr_step_probe'
+    os.makedirs(f'{tmp}/models', exist_ok=True)
+
+    def make_opt(name, lq_stage):
+        opt = yaml_load(f"""
+name: {name}
+model_type: FeMaSRModel
+scale: 4
+num_gpu: 1
+manual_seed: 0
+is_train: true
+dist: false
+rank: 0
+world_size: 1
+datasets:
+  train:
+    phase: train
+    scale: 4
+    gt_size: {args.gt}
+    on_device_degradation: {str(not args.hq).lower()}
+network_g:
+  type: FeMaSRNet
+  gt_resolution: 256
+  norm_type: 'gn'
+  act_type: 'silu'
+  dtype: {args.dtype}
+  codebook_params:
+    - [32, 1024, 512]
+  LQ_stage: {str(lq_stage).lower()}
+  scale_factor: 4
+network_d: {{type: UNetDiscriminatorSN, num_in_ch: 3, dtype: {args.dtype}}}
+path: {{strict_load: false}}
+train:
+  optim_g: {{type: Adam, lr: !!float 1e-4, weight_decay: 0, betas: [0.9, 0.99]}}
+  optim_d: {{type: Adam, lr: !!float 4e-4, weight_decay: 0, betas: [0.9, 0.99]}}
+  scheduler: {{type: MultiStepLR, milestones: [50000], gamma: 1}}
+  total_iter: 100
+  warmup_iter: -1
+  pixel_opt: {{type: L1Loss, loss_weight: 1.0, reduction: mean}}
+  gan_opt: {{type: GANLoss, gan_type: hinge, real_label_val: 1.0,
+            fake_label_val: 0.0, loss_weight: 0.1}}
+  codebook_opt: {{loss_weight: 1.0}}
+  net_d_iters: 1
+  net_d_init_iters: !!float 0
+val: {{val_freq: 1e9, metrics: {{psnr: {{type: psnr}}}}}}
+logger: {{print_freq: 1, use_tb_logger: false}}
+""")
+        if lq_stage:
+            opt['network_g']['frozen_module_keywords'] = [
+                'quantize', 'decoder', 'after_quant_group', 'out_conv']
+            opt['path']['pretrain_network_hq'] = f'{tmp}/models/hq.ckpt'
+        opt['path']['models'] = f'{tmp}/models'
+        opt['path']['training_states'] = f'{tmp}/states'
+        opt['path']['visualization'] = f'{tmp}/vis'
+        return opt
+
+    if not args.hq:
+        hq = build_model(make_opt('probe_hq_init', False))
+        save_pytree({'params': to_host(hq.state.params_g)},
+                    f'{tmp}/models/hq.ckpt')
+        del hq
+
+    model = build_model(make_opt('probe', not args.hq))
+    rng = np.random.default_rng(0)
+    gt = args.gt
+    lq = gt // 4
+
+    def batch(i):
+        return {'lq': rng.random((args.batch, lq, lq, 3), np.float32),
+                'gt': rng.random((args.batch, gt, gt, 3), np.float32)}
+
+    t0 = time.perf_counter()
+    model.feed_data(batch(0))
+    model.optimize_parameters(1)
+    log = model.get_current_log()   # forces host sync of the loss dict
+    print(f'compile+step1: {time.perf_counter() - t0:.1f}s '
+          f'l_g_total={log["l_g_total"]:.3f}', flush=True)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        model.feed_data(batch(i + 1))
+        model.optimize_parameters(i + 2)
+        if args.sync_every_step:
+            model.get_current_log()
+    if not args.sync_every_step:
+        model.get_current_log()   # one sync at the end (pipelined dispatch)
+    dt = (time.perf_counter() - t0) / args.iters
+    stage = 'HQ' if args.hq else 'LQ-ondevice'
+    ips = args.batch / dt
+    print(f'{stage} gt={gt} batch={args.batch} dtype={args.dtype}: '
+          f'{dt * 1e3:.0f} ms/step -> {ips:.2f} img/s', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -71,3 +71,16 @@ def test_scandir(tmp_path):
     assert flat == ['a.png']
     rec = sorted(scandir(str(tmp_path), suffix='.png', recursive=True))
     assert rec == ['a.png', os.path.join('sub', 'b.png')]
+
+
+def test_build_network_yaml_dtype_string():
+    """`network_g: {dtype: bfloat16}` enables mixed-precision compute."""
+    import jax.numpy as jnp
+
+    from femasr_tpu.models import build_network
+    net = build_network({'type': 'UNetDiscriminatorSN', 'num_in_ch': 3,
+                         'dtype': 'bfloat16'})
+    assert net.dtype == jnp.bfloat16
+    net32 = build_network({'type': 'UNetDiscriminatorSN', 'num_in_ch': 3,
+                           'dtype': 'float32'})
+    assert net32.dtype == jnp.float32

@@ -82,18 +82,25 @@ class BaseModel:
     # -- checkpoint I/O ------------------------------------------------------
 
     def save_network(self, params: Any, net_label: str, current_iter,
-                     param_key: str = 'params') -> None:
+                     param_key: str = 'params',
+                     extra_keys: Optional[Dict[str, Any]] = None) -> None:
         """Save a network pytree as models/<label>_<iter>.ckpt.
 
         Retries the write 3x with a 1 s sleep before giving up with a
         warning (reference base_model.py:241-256 — "avoid occasional
-        writing errors" on flaky shared filesystems).
+        writing errors" on flaky shared filesystems). `extra_keys` adds
+        sibling entries, e.g. {'params_ema': ...} (reference saves EMA
+        weights alongside 'params' in the same file, base_model.py:211-239;
+        load_network's params_ema->params fallback reads them back).
         """
         current_iter = 'latest' if current_iter == -1 else current_iter
         fname = f'{net_label}_{current_iter}.ckpt' if current_iter != '' \
             else f'{net_label}.ckpt'
         path = osp.join(self.opt['path']['models'], fname)
-        self._save_with_retry({param_key: to_host(params)}, path)
+        tree = {param_key: to_host(params)}
+        for k, v in (extra_keys or {}).items():
+            tree[k] = to_host(v)
+        self._save_with_retry(tree, path)
 
     @staticmethod
     def _save_with_retry(tree: Dict[str, Any], path: str,

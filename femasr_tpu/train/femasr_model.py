@@ -725,7 +725,10 @@ class FeMaSRModel(BaseModel):
         return out
 
     def save(self, epoch: int, current_iter: int) -> None:
-        self.save_network(self.state.params_g, 'net_g', current_iter)
+        ema = self.state.params_g_ema
+        self.save_network(self.state.params_g, 'net_g', current_iter,
+                          extra_keys=({'params_ema': ema}
+                                      if ema is not None else None))
         self.save_network({'params': self.state.params_d,
                            'spectral': self.state.spectral}, 'net_d',
                           current_iter, param_key='tree')

@@ -43,3 +43,37 @@ def load_file_from_url(url: str, model_dir: str | None = None,
                 f'Could not download {url} ({e}). Place the file manually at '
                 f'{cached_file} or pass an explicit weight path.') from e
     return cached_file
+
+
+def download_file_from_google_drive(file_id: str, save_path: str) -> None:
+    """Download a Google-Drive file by id, following the confirm-token dance.
+
+    Parity: /root/reference/basicsr/utils/download_util.py:11-67 (which uses
+    `requests`; this uses stdlib urllib + cookies so it works in the same
+    environments load_file_from_url does).
+    """
+    import http.cookiejar
+    import re
+    import shutil
+    import urllib.request
+
+    url = 'https://docs.google.com/uc?export=download'
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar))
+
+    with opener.open(f'{url}&id={file_id}') as resp:
+        body = resp.read()
+    token = None
+    for cookie in jar:
+        if cookie.name.startswith('download_warning'):
+            token = cookie.value
+    if token is None:  # newer interstitial page embeds the confirm token
+        m = re.search(rb'confirm=([0-9A-Za-z_\-]+)', body)
+        token = m.group(1).decode() if m else None
+
+    final = f'{url}&id={file_id}' + (f'&confirm={token}' if token else '')
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+    with opener.open(final) as resp, open(save_path, 'wb') as f:
+        shutil.copyfileobj(resp, f)
+    print(f'Downloaded gdrive file {file_id} -> {save_path}')

@@ -78,8 +78,19 @@ def vgg_feature_fn(vgg_params, layer: str = 'relu5_3',
     return fn
 
 
+def _folder_or_stats(path: str, feature_fn: Callable,
+                     batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) from an image folder, or a precomputed stats .npz
+    (scripts/metrics/calculate_fid_stats.py)."""
+    if path.endswith('.npz'):
+        with np.load(path) as z:
+            return z['mu'], z['sigma']
+    return feature_statistics(extract_features(path, feature_fn, batch_size))
+
+
 def calculate_fid(folder1: str, folder2: str, feature_fn: Callable,
                   batch_size: int = 8) -> float:
-    f1 = extract_features(folder1, feature_fn, batch_size)
-    f2 = extract_features(folder2, feature_fn, batch_size)
-    return frechet_distance(*feature_statistics(f1), *feature_statistics(f2))
+    """FID between two image folders (either may be a stats .npz)."""
+    mu1, s1 = _folder_or_stats(folder1, feature_fn, batch_size)
+    mu2, s2 = _folder_or_stats(folder2, feature_fn, batch_size)
+    return frechet_distance(mu1, s1, mu2, s2)

@@ -215,6 +215,7 @@ class MultiScaleEncoder(nn.Module):
     swin_mlp_ratio: float = 4.0
     use_checkpoint: bool = False
     fused_upsample: bool = False
+    attn_pack: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -234,7 +235,8 @@ class MultiScaleEncoder(nn.Module):
             idx += 1
 
         if self.lq_stage:
-            x = SwinLayers(mlp_ratio=self.swin_mlp_ratio, dtype=self.dtype,
+            x = SwinLayers(mlp_ratio=self.swin_mlp_ratio,
+                           attn_pack=self.attn_pack, dtype=self.dtype,
                            name=f'blocks_{idx}')(x)
             outputs.append(x)
             idx += 1
@@ -273,6 +275,10 @@ class FeMaSRNet(nn.Module):
     # evaluate the last decoder level + out_conv in the 2x2 space-to-depth
     # domain (exact math, ~1.5x faster C=64 convs on the MXU); requires gn
     s2d_tail: bool = False
+    # window-packing factor for the swin attention einsums (exact math for
+    # any value — cross-window terms are masked to exp -> 0; see
+    # ops/swin.py WindowAttention.pack)
+    attn_pack: int = 1
     dtype: Dtype = jnp.float32
 
     @property
@@ -304,7 +310,8 @@ class FeMaSRNet(nn.Module):
             input_res=self.gt_resolution // self.effective_scale_factor,
             norm_type=self.norm_type, act_type=self.act_type,
             lq_stage=self.LQ_stage, use_checkpoint=self.use_checkpoint,
-            fused_upsample=self.fused_upsample, dtype=self.dtype)
+            fused_upsample=self.fused_upsample, attn_pack=self.attn_pack,
+            dtype=self.dtype)
 
         decoders = []
         out_ch = None

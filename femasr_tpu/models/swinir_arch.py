@@ -70,6 +70,7 @@ class SwinIR(nn.Module):
     img_range: float = 1.0
     upsampler: str = ''
     resi_connection: str = '1conv'
+    attn_pack: int = 1
     dtype: Any = jnp.float32
 
     def _features(self, x: jax.Array) -> jax.Array:
@@ -92,7 +93,8 @@ class SwinIR(nn.Module):
                      depth=depth, num_heads=self.num_heads[i],
                      window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                      qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                     use_checkpoint=self.use_checkpoint, dtype=self.dtype,
+                     use_checkpoint=self.use_checkpoint,
+                     attn_pack=self.attn_pack, dtype=self.dtype,
                      name=f'layers_{i}')(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                             param_dtype=jnp.float32, name='norm')(x)

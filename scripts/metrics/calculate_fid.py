@@ -15,8 +15,11 @@ import argparse
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('folder1', type=str)
-    parser.add_argument('folder2', type=str)
+    parser.add_argument('folder1', type=str,
+                        help='image folder, or stats .npz from '
+                             'calculate_fid_stats.py')
+    parser.add_argument('folder2', type=str,
+                        help='image folder, or stats .npz')
     parser.add_argument('--inception_weights', type=str, default=None,
                         help='pt_inception .pth -> canonical FID')
     parser.add_argument('--vgg_weights', type=str, default=None,

@@ -24,6 +24,7 @@ def main():
     ap.add_argument('batch', type=int, nargs='?', default=1)
     ap.add_argument('--fused', action='store_true')
     ap.add_argument('--s2d', action='store_true')
+    ap.add_argument('--pack', type=int, default=1)
     ap.add_argument('--iters', type=int, default=8)
     ap.add_argument('--compile-only', action='store_true')
     args = ap.parse_args()
@@ -40,7 +41,7 @@ def main():
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       fused_upsample=args.fused, s2d_tail=args.s2d,
-                      dtype=jnp.bfloat16)
+                      attn_pack=args.pack, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, args.tile, args.tile, 3), jnp.bfloat16))['params']

@@ -28,6 +28,9 @@ def main():
     ap.add_argument('tile', type=int, default=512, nargs='?')
     ap.add_argument('--iters', type=int, default=6)
     ap.add_argument('--fused', action='store_true')
+    ap.add_argument('--pack', type=int, default=1,
+                    help='window packing factor for the swin attention')
+    ap.add_argument('--swin-only', action='store_true')
     args = ap.parse_args()
 
     import jax
@@ -51,22 +54,24 @@ def main():
 
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
-                      fused_upsample=args.fused, dtype=jnp.bfloat16)
+                      fused_upsample=args.fused, attn_pack=args.pack,
+                      dtype=jnp.bfloat16)
     params = jax.jit(model.init)(key, jnp.zeros((1, t, t, 3),
                                                 jnp.bfloat16))['params']
 
-    # 1. encoder (in_conv + down + swin + 2 up blocks)
-    @jax.jit
-    def enc(x):
-        outs = model.apply({'params': params}, x,
-                           method=lambda m, x: m.multiscale_encoder(x))
-        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+    if not args.swin_only:
+        # 1. encoder (in_conv + down + swin + 2 up blocks)
+        @jax.jit
+        def enc(x):
+            outs = model.apply({'params': params}, x,
+                               method=lambda m, x: m.multiscale_encoder(x))
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
 
-    dt = bench(enc, inputs((1, t, t, 3), args.iters))
-    print(f'encoder(full): {dt * 1e3:.1f} ms', flush=True)
+        dt = bench(enc, inputs((1, t, t, 3), args.iters))
+        print(f'encoder(full): {dt * 1e3:.1f} ms', flush=True)
 
     # 2. swin alone at the deepest encoder resolution (t/2, 256ch)
-    sw = SwinLayers(dtype=jnp.bfloat16)
+    sw = SwinLayers(attn_pack=args.pack, dtype=jnp.bfloat16)
     sshape = (1, t // 2, t // 2, 256)
     sparams = jax.jit(sw.init)(key, jnp.zeros(sshape, jnp.bfloat16))['params']
 
@@ -75,7 +80,10 @@ def main():
         return jnp.sum(sw.apply({'params': sparams}, x).astype(jnp.float32))
 
     dt = bench(swin, inputs(sshape, args.iters))
-    print(f'swin(4xRSTB @{t // 2}px 256ch): {dt * 1e3:.1f} ms', flush=True)
+    print(f'swin(4xRSTB @{t // 2}px 256ch, pack={args.pack}): '
+          f'{dt * 1e3:.1f} ms', flush=True)
+    if args.swin_only:
+        return
 
     # 3. decoder chain: 3 DecoderBlocks + out_conv from (t/2, 256ch)
     blocks = [DecoderBlock(256, 'gn', 'silu', args.fused, jnp.bfloat16),

@@ -1,5 +1,7 @@
 """Auxiliary surface tests: arch_util, USM, flow I/O, NIQE, FID, converters."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -95,6 +97,41 @@ def test_frechet_distance_properties():
     mu2, s2 = feature_statistics(f2)
     assert frechet_distance(mu1, s1, mu1, s1) < 1e-6
     assert frechet_distance(mu1, s1, mu2, s2) > 10
+
+
+def test_fid_accepts_precomputed_stats_npz(tmp_path):
+    """calculate_fid takes a stats .npz (calculate_fid_stats.py output) in
+    place of either folder; FID(folder, its own stats) == 0."""
+    import cv2
+    from femasr_tpu.metrics.fid import (calculate_fid, extract_features,
+                                        feature_statistics)
+    rng = np.random.default_rng(5)
+    folder = tmp_path / 'imgs'
+    folder.mkdir()
+    for i in range(4):
+        img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(folder / f'{i}.png'), img)
+
+    def fake_fn(batch):   # deterministic stand-in backbone
+        return batch.reshape(batch.shape[0], -1)[:, :16]
+
+    feats = extract_features(str(folder), fake_fn, batch_size=2)
+    mu, sigma = feature_statistics(feats)
+    npz = tmp_path / 'stats.npz'
+    np.savez(npz, mu=mu, sigma=sigma)
+
+    fid = calculate_fid(str(folder), str(npz), fake_fn, batch_size=2)
+    assert abs(fid) < 1e-4
+
+    # the stats CLI writes the same format
+    import subprocess
+    import sys
+    repo = os.path.join(os.path.dirname(__file__), os.pardir)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, 'scripts', 'metrics',
+                                      'calculate_fid_stats.py'), '--help'],
+        capture_output=True, text=True)
+    assert r.returncode == 0 and 'inception_weights' in r.stdout
 
 
 def test_checkpoint_roundtrip_torch_layout():

@@ -43,7 +43,8 @@ class SRInferencer:
                  gt_resolution: int = 256, norm_type: str = 'gn',
                  act_type: str = 'silu', vq_backend: str = 'xla',
                  max_tile_batch: int = 16, lq_stage: bool = True,
-                 model: Optional[FeMaSRNet] = None, init_merge: bool = True):
+                 model: Optional[FeMaSRNet] = None, init_merge: bool = True,
+                 mesh=None, tensor_parallel: bool = False):
         self.model = model or FeMaSRNet(
             codebook_params=[list(p) for p in codebook_params],
             LQ_stage=lq_stage, scale_factor=scale_factor,
@@ -57,7 +58,20 @@ class SRInferencer:
             init = self.model.init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, init_hw, init_hw, 3), dtype))
             params = merge_params(init['params'], params)
-        self.params = jax.device_put(params)
+        # optional multi-chip serving: batches shard over the mesh 'data'
+        # axis (XLA inserts the collectives; beats the reference, whose
+        # inference is strictly single-GPU — inference_femasr.py:39-63);
+        # tensor_parallel additionally splits swin qkv/FFN + the codebook
+        # over 'model' (parallel/mesh.py TP_RULES).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, shard_params
+            self.params = shard_params(mesh, params, tensor_parallel)
+            self._batch_sharding = batch_sharding(mesh)
+            self._dp = mesh.shape.get('data', 1)
+        else:
+            self.params = jax.device_put(params)
+            self._dp = 1
         self.scale = self.model.effective_scale_factor
         self.dtype = dtype
         self.max_tile_batch = max_tile_batch
@@ -73,6 +87,18 @@ class SRInferencer:
 
         self._forward = _forward
 
+    def _run(self, x: jax.Array) -> jax.Array:
+        """Dispatch one batch; under a mesh, round the batch up to the data
+        axis and shard it (computation follows the data placement)."""
+        if self.mesh is None:
+            return self._forward(self.params, x)
+        b = x.shape[0]
+        pad = (-b) % self._dp
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        x = jax.device_put(x, self._batch_sharding)
+        return self._forward(self.params, x)[:b]
+
     # -- whole image ------------------------------------------------------
 
     def run_padded(self, x: jax.Array) -> jax.Array:
@@ -84,7 +110,7 @@ class SRInferencer:
         h_pad = (h_old // self.wsz + 1) * self.wsz - h_old
         w_pad = (w_old // self.wsz + 1) * self.wsz - w_old
         x = flip_pad(x, h_pad, w_pad)
-        out = self._forward(self.params, x)
+        out = self._run(x)
         return out[:, :h_old * self.scale, :w_old * self.scale]
 
     # -- batched tiles ------------------------------------------------------
@@ -134,9 +160,9 @@ class SRInferencer:
                 reps = chunk - part.shape[0]
                 part = jnp.concatenate(
                     [part, jnp.repeat(part[-1:], reps, axis=0)], axis=0)
-                outs.append(self._forward(self.params, part)[:n - i])
+                outs.append(self._run(part)[:n - i])
             else:
-                outs.append(self._forward(self.params, part))
+                outs.append(self._run(part))
         out_tiles = jnp.concatenate(outs, axis=0)
 
         # stitch tile centers
@@ -180,8 +206,7 @@ class SRInferencer:
                     x = jnp.asarray(imgs[i], jnp.float32)[None]
                     batch.append(flip_pad(x, bh - x.shape[1],
                                           bw - x.shape[2]))
-                out = self._forward(self.params,
-                                    jnp.concatenate(batch, axis=0))
+                out = self._run(jnp.concatenate(batch, axis=0))
                 for j, i in enumerate(chunk):
                     h, w = imgs[i].shape[:2]
                     outputs[i] = np.asarray(out[j, :h * s, :w * s])

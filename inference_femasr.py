@@ -48,6 +48,12 @@ def main():
     parser.add_argument('--bucket', type=int, default=0,
                         help='>0: bucketed batched folder inference (pads '
                              'shapes to multiples of this; few compiles)')
+    parser.add_argument('--dp', type=int, default=0,
+                        help='>0: shard batches over a data-parallel mesh '
+                             'of this many devices (multi-chip serving)')
+    parser.add_argument('--tp', type=int, default=1,
+                        help='tensor-parallel axis size (with --dp; splits '
+                             'swin qkv/FFN + codebook over the mesh)')
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -62,8 +68,13 @@ def main():
             pretrain_model_url[f'x{args.out_scale}'])
 
     dtype = jnp.bfloat16 if args.precision == 'bf16' else jnp.float32
+    mesh = None
+    if args.dp > 0:
+        from femasr_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(data=args.dp, model=args.tp)
     sr = load_inferencer(weight_path, scale_factor=args.out_scale,
-                         dtype=dtype, max_tile_batch=args.tile_batch)
+                         dtype=dtype, max_tile_batch=args.tile_batch,
+                         mesh=mesh, tensor_parallel=args.tp > 1)
 
     os.makedirs(args.output, exist_ok=True)
     if os.path.isfile(args.input):

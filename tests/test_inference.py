@@ -95,6 +95,30 @@ def test_bucketed_folder_inference():
     assert np.median(diff) < 2e-2
 
 
+def test_mesh_sharded_inference_matches_single_device():
+    """DP-sharded serving over the 8-device CPU mesh == unsharded output
+    (the reference's inference is strictly single-GPU; here batches shard
+    over the mesh 'data' axis, incl. batch sizes not divisible by dp)."""
+    from femasr_tpu.parallel.mesh import create_mesh
+    tnet, sr = _make_pair()
+    del tnet
+    mesh = create_mesh(data=4, model=2)
+    sr_mesh = SRInferencer(sr.params, scale_factor=4, dtype=jnp.float32,
+                           mesh=mesh, tensor_parallel=True)
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.random((20, 24, 3), dtype=np.float32) for _ in range(3)]
+    ref = sr.run_bucketed(imgs, bucket=32, max_batch=3)
+    out = sr_mesh.run_bucketed(imgs, bucket=32, max_batch=3)  # b=3, dp=4
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(o, r, atol=2e-5)
+
+    # whole-image path (batch 1 -> padded to the data axis internally)
+    solo_ref = np.asarray(sr.run_padded(jnp.asarray(imgs[0])[None]))
+    solo = np.asarray(sr_mesh.run_padded(jnp.asarray(imgs[0])[None]))
+    np.testing.assert_allclose(solo, solo_ref, atol=2e-5)
+
+
 def test_x2_whole_image_parity():
     """x2 model family (BASELINE config 2): wsz=32 padding + parity."""
     tnet, sr = _make_pair(scale=2)

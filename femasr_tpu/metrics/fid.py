@@ -10,7 +10,7 @@ weights are not redistributable offline, so a converted-VGG16 extractor
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 from scipy import linalg
@@ -37,25 +37,34 @@ def feature_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def extract_features(folder: str, feature_fn: Callable, batch_size: int = 8,
-                     size: int = 299) -> np.ndarray:
-    """Run `feature_fn` over all images in a folder (resized to `size`)."""
+                     size: Optional[int] = None) -> np.ndarray:
+    """Run `feature_fn` over all images in a folder.
+
+    size=None (default): images are fed at native resolution, batched per
+    distinct (H, W) so the backbone's own input resize defines the kernel —
+    matching pytorch-fid, which never host-resizes (one XLA program per
+    distinct size in the folder). Pass an int to force a host-side
+    cv2.INTER_AREA pre-resize instead (single program, non-canonical).
+    """
     import cv2
 
     from ..data.data_util import make_dataset
-    feats = []
-    batch = []
+    groups: dict = {}
     for p in make_dataset(folder):
         img = cv2.imread(p, cv2.IMREAD_COLOR)
         if img is None:
             continue
         rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.
-        rgb = cv2.resize(rgb, (size, size), interpolation=cv2.INTER_AREA)
-        batch.append(rgb)
-        if len(batch) == batch_size:
-            feats.append(np.asarray(feature_fn(np.stack(batch))))
-            batch = []
-    if batch:
-        feats.append(np.asarray(feature_fn(np.stack(batch))))
+        if size is not None:
+            rgb = cv2.resize(rgb, (size, size),
+                             interpolation=cv2.INTER_AREA)
+        groups.setdefault(rgb.shape[:2], []).append(rgb)
+
+    feats = []
+    for imgs in groups.values():
+        for i in range(0, len(imgs), batch_size):
+            feats.append(np.asarray(feature_fn(
+                np.stack(imgs[i:i + batch_size]))))
     return np.concatenate(feats, axis=0)
 
 
@@ -78,19 +87,28 @@ def vgg_feature_fn(vgg_params, layer: str = 'relu5_3',
     return fn
 
 
-def _folder_or_stats(path: str, feature_fn: Callable,
-                     batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(mu, sigma) from an image folder, or a precomputed stats .npz
-    (scripts/metrics/calculate_fid_stats.py)."""
+def _folder_or_stats(path: str, feature_fn: Callable, batch_size: int
+                     ) -> Tuple[np.ndarray, np.ndarray, Optional[str]]:
+    """(mu, sigma, backbone_label) from an image folder, or a precomputed
+    stats .npz (scripts/metrics/calculate_fid_stats.py)."""
     if path.endswith('.npz'):
         with np.load(path) as z:
-            return z['mu'], z['sigma']
-    return feature_statistics(extract_features(path, feature_fn, batch_size))
+            backbone = str(z['backbone']) if 'backbone' in z else None
+            return z['mu'], z['sigma'], backbone
+    mu, sigma = feature_statistics(
+        extract_features(path, feature_fn, batch_size))
+    return mu, sigma, None
 
 
 def calculate_fid(folder1: str, folder2: str, feature_fn: Callable,
                   batch_size: int = 8) -> float:
     """FID between two image folders (either may be a stats .npz)."""
-    mu1, s1 = _folder_or_stats(folder1, feature_fn, batch_size)
-    mu2, s2 = _folder_or_stats(folder2, feature_fn, batch_size)
+    mu1, s1, b1 = _folder_or_stats(folder1, feature_fn, batch_size)
+    mu2, s2, b2 = _folder_or_stats(folder2, feature_fn, batch_size)
+    if b1 and b2 and b1 != b2:
+        raise ValueError(f'stats backbones differ: {b1} vs {b2}')
+    if mu1.shape != mu2.shape:
+        raise ValueError(
+            f'feature dims differ ({mu1.shape} vs {mu2.shape}) — the stats '
+            '.npz was computed with a different backbone than this run')
     return frechet_distance(mu1, s1, mu2, s2)

@@ -193,8 +193,11 @@ class InceptionV3FID(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         d = self.dtype
         if self.resize_input and x.shape[1:3] != (299, 299):
+            # pytorch-fid uses F.interpolate(mode='bilinear',
+            # align_corners=False) with NO antialias filter; FID is
+            # sensitive to the resize kernel (clean-fid), so match it.
             x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]),
-                                 method='bilinear')
+                                 method='bilinear', antialias=False)
         if self.normalize_input:
             x = 2.0 * x - 1.0
         x = x.astype(d)

@@ -71,7 +71,12 @@ class SpectralConv(nn.Module):
             return _l2_normalize(w_sg @ v0, self.eps), v0
 
         u_var = self.variable('spectral', 'u', lambda: warm_uv()[0])
-        v_var = self.variable('spectral', 'v', lambda: warm_uv()[1])
+        # derive v from the already-warm u with one matvec instead of
+        # re-running the full warm-up a second time
+        v_var = self.variable(
+            'spectral', 'v',
+            lambda: _l2_normalize(
+                jax.lax.stop_gradient(w_mat).T @ u_var.value, self.eps))
         u, v = u_var.value, v_var.value
 
         if update_stats:

@@ -135,8 +135,19 @@ class BaseModel:
             from ..models.convert import load_torch_checkpoint
             return load_torch_checkpoint(path, param_key)
         tree = load_pytree(path)
-        if param_key and param_key in tree:
-            return tree[param_key]
+        if param_key:
+            if param_key in tree:
+                return tree[param_key]
+            # reference parity (base_model.py:311-315): params_ema <-> params
+            # fallback, logged; anything else missing is an error — silently
+            # returning the whole multi-key tree would make merge_params
+            # match nothing and keep init weights.
+            for fallback in ('params', 'params_ema', 'tree'):
+                if fallback != param_key and fallback in tree:
+                    logger.info(
+                        f'Loading: {param_key} does not exist, use {fallback}.')
+                    return tree[fallback]
+            # no wrapper key present -> treat as a bare param pytree
         return tree
 
     def save_training_state(self, state_tree: Dict[str, Any], epoch: int,

@@ -203,6 +203,10 @@ class FeMaSRModel(BaseModel):
                 self.spectral = merge_params(self.spectral, s)
             else:
                 tree = self.load_network(load_path, param_key=None)
+                # save() writes net_d as {'tree': {'params', 'spectral'}}
+                # (save:param_key='tree') — unwrap before merging
+                if set(tree) == {'tree'}:
+                    tree = tree['tree']
                 self.params_d = merge_params(self.params_d,
                                              tree.get('params', tree))
                 if 'spectral' in tree:

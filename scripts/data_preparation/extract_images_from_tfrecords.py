@@ -110,12 +110,17 @@ def convert_tfrecords(tf_pattern, save_path, resolution=None):
         print('Processing record:', record)
         for payload in read_tfrecord_frames(record):
             feats = parse_example(payload)
-            h, w, c = feats['shape'][:3]
+            shape = feats['shape'][:3]
             img = np.frombuffer(feats['data'][0], dtype=np.uint8)
-            if img.size == h * w * c:
-                img = img.reshape(h, w, c)       # CelebA layout HWC
+            # FFHQ/StyleGAN tfrecords store shape as (C, H, W); CelebA-style
+            # ones as (H, W, C). The element count cannot disambiguate (the
+            # product is the same) — use the channel position.
+            if shape[0] in (1, 3) and shape[2] not in (1, 3):
+                c, h, w = shape
+                img = img.reshape(c, h, w).transpose(1, 2, 0)
             else:
-                img = img.reshape(c, h, w).transpose(1, 2, 0)  # FFHQ CHW
+                h, w, c = shape
+                img = img.reshape(h, w, c)
             if resolution is not None and (h != resolution
                                            or w != resolution):
                 continue

@@ -70,6 +70,22 @@ def test_tfrecord_extract_roundtrip(tmp_path):
     got = cv2.imread(str(out / files[1]))   # BGR on disk
     np.testing.assert_array_equal(got[:, :, ::-1], imgs[1])
 
+    # FFHQ/StyleGAN layout: shape recorded as (C, H, W), data stored CHW —
+    # must come out as the same HWC image (the element count is identical,
+    # so only the channel-position heuristic can tell them apart)
+    rec2 = tmp_path / 'ffhq.tfrecords'
+    chw = imgs[0].transpose(2, 0, 1)
+    with open(rec2, 'wb') as f:
+        payload = _example(chw.shape, chw.tobytes())
+        f.write(struct.pack('<Q', len(payload)) + b'\0' * 4
+                + payload + b'\0' * 4)
+    out2 = tmp_path / 'out_ffhq'
+    mod.convert_tfrecords(str(rec2), str(out2), resolution=16)
+    files2 = os.listdir(out2)
+    assert len(files2) == 1
+    got2 = cv2.imread(str(out2 / files2[0]))
+    np.testing.assert_array_equal(got2[:, :, ::-1], imgs[0])
+
 
 def test_regroup_reds(tmp_path):
     mod = _load('regroup_reds_dataset')

@@ -283,6 +283,44 @@ def test_save_network_retries_then_warns(tmp_path):
     assert any('Still cannot save' in w for w in warnings)
 
 
+def test_net_d_checkpoint_roundtrip(hq_run, data_root, tmp_path_factory):
+    """save() writes net_d as {'tree': {params, spectral}}; a fresh model
+    pointed at that file via pretrain_network_d must actually restore both
+    (regression: the loader used to receive the un-unwrapped {'tree': ...}
+    and silently keep init weights)."""
+    model, opt, _, exp = hq_run
+    ckpt = os.path.join(exp, 'models', 'net_d_3.ckpt')
+    assert os.path.exists(ckpt)
+
+    opt2 = _base_opt(data_root, 'd_roundtrip')
+    opt2['path']['pretrain_network_d'] = ckpt
+    exp2 = str(tmp_path_factory.mktemp('d_roundtrip'))
+    model2, _ = _mk_model(opt2, exp2)
+
+    ref = jax.tree.leaves(model.state.params_d)
+    got = jax.tree.leaves(model2.state.params_d)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    ref_s = jax.tree.leaves(model.state.spectral)
+    got_s = jax.tree.leaves(model2.state.spectral)
+    for a, b in zip(ref_s, got_s):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_load_network_params_ema_fallback(tmp_path):
+    """param_key miss falls back params_ema <-> params (reference
+    base_model.py:311-315) instead of returning the raw wrapper dict."""
+    from femasr_tpu.train.base_model import BaseModel
+    from femasr_tpu.utils.checkpoint import save_pytree
+    path = str(tmp_path / 'g.ckpt')
+    save_pytree({'params': {'w': np.ones(3, np.float32)}}, path)
+
+    model = BaseModel.__new__(BaseModel)
+    model.opt = {'path': {}, 'root_path': str(tmp_path)}
+    out = model.load_network(path, param_key='params_ema')
+    np.testing.assert_array_equal(np.asarray(out['w']), np.ones(3))
+
+
 def test_load_network_url_autodownload(tmp_path):
     """https:// checkpoint paths are fetched into
     experiments/pretrained_models first (reference base_model.py:304-306)."""

@@ -169,6 +169,10 @@ class WindowAttention(nn.Module):
     # exact zero, so results are identical for any pack value; the FLOP
     # waste is pack x on the ~1%-of-model attention einsums.
     pack: int = 1
+    # apply packing to shifted (masked) blocks too; False keeps SW-MSA
+    # blocks unpacked (their packed mask constant is nW/p x (pN)^2 — an
+    # ablation knob for isolating constant-traffic cost)
+    pack_shifted: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -221,6 +225,8 @@ class WindowAttention(nn.Module):
         # must divide the windows-per-image count so groups never mix the
         # per-window SW-MSA mask pattern (and so B > 1 stays aligned).
         p = math.gcd(self.pack, n_windows) if n_windows else 1
+        if mask is not None and not self.pack_shifted:
+            p = 1
         if p > 1:
             pn = p * n
             g = b_ // p
@@ -293,6 +299,7 @@ class SwinTransformerBlock(nn.Module):
     qk_scale: Optional[float] = None
     attn_backend: str = 'xla'
     attn_pack: int = 1
+    attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -320,7 +327,8 @@ class SwinTransformerBlock(nn.Module):
             dim=self.dim, window_size=(window_size, window_size),
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, backend=self.attn_backend,
-            pack=self.attn_pack, dtype=self.dtype, name='attn')(
+            pack=self.attn_pack, pack_shifted=self.attn_pack_shifted,
+            dtype=self.dtype, name='attn')(
                 x_windows, mask=mask,
                 n_windows=(h // window_size) * (w // window_size))
         x = window_reverse(attn_windows, window_size, h, w)
@@ -352,6 +360,7 @@ class BasicLayer(nn.Module):
     use_checkpoint: bool = False
     attn_backend: str = 'xla'
     attn_pack: int = 1
+    attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -368,6 +377,7 @@ class BasicLayer(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale, attn_backend=self.attn_backend,
                 attn_pack=self.attn_pack,
+                attn_pack_shifted=self.attn_pack_shifted,
                 dtype=self.dtype, name=f'blocks_{i}')(x)
         return x
 
@@ -390,6 +400,7 @@ class RSTB(nn.Module):
     use_checkpoint: bool = False
     attn_backend: str = 'xla'
     attn_pack: int = 1
+    attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -400,7 +411,9 @@ class RSTB(nn.Module):
                        qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                        use_checkpoint=self.use_checkpoint,
                        attn_backend=self.attn_backend,
-                       attn_pack=self.attn_pack, dtype=self.dtype,
+                       attn_pack=self.attn_pack,
+                       attn_pack_shifted=self.attn_pack_shifted,
+                       dtype=self.dtype,
                        name='residual_group')(x)
         y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=jnp.float32, name='conv')(y)
@@ -417,6 +430,7 @@ class SwinLayers(nn.Module):
     mlp_ratio: float = 4.0
     attn_backend: str = 'xla'
     attn_pack: int = 1
+    attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -427,6 +441,8 @@ class SwinLayers(nn.Module):
                      depth=self.blk_depth, num_heads=self.num_heads,
                      window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                      attn_backend=self.attn_backend,
-                     attn_pack=self.attn_pack, dtype=self.dtype,
+                     attn_pack=self.attn_pack,
+                     attn_pack_shifted=self.attn_pack_shifted,
+                     dtype=self.dtype,
                      name=f'swin_blks_{i}')(x)
         return x

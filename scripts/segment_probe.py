@@ -30,6 +30,8 @@ def main():
     ap.add_argument('--fused', action='store_true')
     ap.add_argument('--pack', type=int, default=1,
                     help='window packing factor for the swin attention')
+    ap.add_argument('--no-pack-shifted', action='store_true',
+                    help='leave SW-MSA (masked) blocks unpacked')
     ap.add_argument('--swin-only', action='store_true')
     args = ap.parse_args()
 
@@ -71,7 +73,9 @@ def main():
         print(f'encoder(full): {dt * 1e3:.1f} ms', flush=True)
 
     # 2. swin alone at the deepest encoder resolution (t/2, 256ch)
-    sw = SwinLayers(attn_pack=args.pack, dtype=jnp.bfloat16)
+    sw = SwinLayers(attn_pack=args.pack,
+                    attn_pack_shifted=not args.no_pack_shifted,
+                    dtype=jnp.bfloat16)
     sshape = (1, t // 2, t // 2, 256)
     sparams = jax.jit(sw.init)(key, jnp.zeros(sshape, jnp.bfloat16))['params']
 

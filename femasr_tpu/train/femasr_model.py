@@ -513,7 +513,13 @@ class FeMaSRModel(BaseModel):
         return self._inferencer
 
     def current_params_g(self):
-        return self.state.params_g if self.is_train else self.params_g
+        if self.is_train:
+            # with model EMA enabled, evaluation uses the EMA weights
+            # (BasicSR semantics: SRModel.test prefers net_g_ema)
+            if self.state.params_g_ema is not None:
+                return self.state.params_g_ema
+            return self.state.params_g
+        return self.params_g
 
     def test(self, lq_img: np.ndarray) -> np.ndarray:
         """Whole-vs-tiled dispatch by pixel count (femasr_model.py:217-227)."""

@@ -283,6 +283,38 @@ def test_save_network_retries_then_warns(tmp_path):
     assert any('Still cannot save' in w for w in warnings)
 
 
+def test_hq_training_converges_on_one_image(data_root, tmp_path_factory):
+    """Optimization sanity beyond smoke: a tiny HQ VQGAN overfits a single
+    64px image — pixel loss must drop substantially over 120 iters. This
+    exercises the STE gradient path, codebook loss, Adam masking, and LR
+    schedule end-to-end (the 3-iter smokes only prove finiteness)."""
+    exp = str(tmp_path_factory.mktemp('conv_exp'))
+    opt = _base_opt(data_root, 'converge', total_iter=120)
+    # pixel + codebook only: GAN noise would obscure the convergence signal
+    # (loss_weight 0 -> use_dis False, same as the reference's gating)
+    opt['train']['gan_opt']['loss_weight'] = 0
+    opt['train']['optim_g']['lr'] = 3e-3
+    opt['train']['scheduler'] = {'type': 'MultiStepLR',
+                                 'milestones': [100000], 'gamma': 1}
+    model, _ = _mk_model(opt, exp)
+
+    rng = np.random.default_rng(0)
+    base = rng.random((8, 8, 3)).astype(np.float32)
+    img = cv2.resize(base, (64, 64), interpolation=cv2.INTER_CUBIC)
+    batch = {'lq': np.clip(cv2.resize(img, (16, 16)), 0, 1)[None],
+             'gt': np.clip(img, 0, 1)[None]}
+
+    losses = []
+    for it in range(1, 121):
+        model.feed_data(batch)
+        model.optimize_parameters(it)
+        losses.append(model.get_current_log()['l_pix'])
+    first = float(np.mean(losses[:10]))
+    last = float(np.mean(losses[-10:]))
+    assert np.isfinite(losses).all()
+    assert last < 0.5 * first, (first, last)
+
+
 def test_net_d_checkpoint_roundtrip(hq_run, data_root, tmp_path_factory):
     """save() writes net_d as {'tree': {params, spectral}}; a fresh model
     pointed at that file via pretrain_network_d must actually restore both

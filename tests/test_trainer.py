@@ -181,6 +181,46 @@ def test_lq_stage_freezes_prior_modules(hq_run, data_root, tmp_path_factory):
     assert 'l_codebook' in model.get_current_log()
 
 
+def test_lq_training_converges_on_one_image(hq_run, data_root,
+                                            tmp_path_factory):
+    """LQ-stage optimization sanity: with the frozen HQ prior supplying GT
+    code indices, the LQ encoder must learn — l_codebook (the feature-match
+    loss to the frozen codebook) and l_pix both drop over 80 iters while
+    frozen modules stay exactly frozen."""
+    _, _, _, hq_exp = hq_run
+    exp = str(tmp_path_factory.mktemp('lq_conv_exp'))
+    opt = _base_opt(data_root, 'lq_converge', total_iter=80)
+    opt['network_g']['LQ_stage'] = True
+    opt['network_g']['scale_factor'] = 4
+    opt['network_g']['frozen_module_keywords'] = [
+        'quantize', 'decoder', 'after_quant_group', 'out_conv']
+    opt['path']['pretrain_network_hq'] = os.path.join(hq_exp, 'models',
+                                                      'net_g_3.ckpt')
+    opt['train']['gan_opt']['loss_weight'] = 0
+    opt['train']['optim_g']['lr'] = 1e-3
+    opt['train']['scheduler'] = {'type': 'MultiStepLR',
+                                 'milestones': [100000], 'gamma': 1}
+    model, _ = _mk_model(opt, exp)
+
+    rng = np.random.default_rng(1)
+    base = rng.random((8, 8, 3)).astype(np.float32)
+    img = np.clip(cv2.resize(base, (64, 64),
+                             interpolation=cv2.INTER_CUBIC), 0, 1)
+    batch = {'lq': np.clip(cv2.resize(img, (16, 16)), 0, 1)[None],
+             'gt': img[None]}
+
+    cb, pix = [], []
+    for it in range(1, 81):
+        model.feed_data(batch)
+        model.optimize_parameters(it)
+        log = model.get_current_log()
+        cb.append(log['l_codebook'])
+        pix.append(log['l_pix'])
+    assert np.isfinite(cb).all() and np.isfinite(pix).all()
+    assert np.mean(cb[-10:]) < 0.7 * np.mean(cb[:10]), (cb[:10], cb[-10:])
+    assert np.mean(pix[-10:]) < np.mean(pix[:10]), (pix[:10], pix[-10:])
+
+
 def test_lr_schedulers_match_reference():
     torch = pytest.importorskip('torch')
     import sys

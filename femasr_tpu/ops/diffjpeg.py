@@ -118,13 +118,16 @@ def jpeg_compress(x: jax.Array, quality, differentiable: bool = True
                   ) -> jax.Array:
     """JPEG round-trip on NHWC RGB images in [0, 1].
 
-    quality may be a traced scalar (or per-batch (B,1,1) array for vmapped
-    use). H, W are padded internally to multiples of 16.
+    quality may be a traced scalar or a per-batch array of any shape whose
+    leading axis is B (normalized internally so it broadcasts against the
+    (B, H/8, W/8, 8, 8) DCT blocks). H, W are padded to multiples of 16.
     """
     b, h, w, c = x.shape
     assert c == 3
     rounding = diff_round if differentiable else jnp.round
-    factor = quality_to_factor(quality)
+    factor = jnp.asarray(quality_to_factor(quality))
+    if factor.ndim > 0:
+        factor = factor.reshape(factor.shape[0], 1, 1, 1, 1)
 
     ph = (-h) % 16
     pw = (-w) % 16

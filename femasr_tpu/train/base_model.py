@@ -76,8 +76,12 @@ class BaseModel:
 
     @staticmethod
     def ema_update(ema_params, params, decay: float = 0.999):
-        return jax.tree.map(lambda e, p: e * decay + p * (1 - decay),
-                            ema_params, params)
+        """EMA tree update; the single definition used both by callers and
+        inside FeMaSRModel's jitted train step (params may be lower
+        precision than the f32 EMA tree, hence the cast)."""
+        return jax.tree.map(
+            lambda e, p: e * decay + p.astype(e.dtype) * (1 - decay),
+            ema_params, params)
 
     # -- checkpoint I/O ------------------------------------------------------
 

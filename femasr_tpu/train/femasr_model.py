@@ -65,14 +65,34 @@ def _frozen_mask_labels(params: Any, keywords) -> Any:
     return unflatten_dict(labels, sep='/')
 
 
-def _adam_from_opt(optim_opt: dict, schedule) -> optax.GradientTransformation:
+def _optimizer_from_opt(optim_opt: dict,
+                        schedule) -> optax.GradientTransformation:
+    """optax optimizer from a YAML `optim_*` dict.
+
+    Reference semantics (base_model.py:119-124 does
+    getattr(torch.optim, type)): torch.optim.Adam applies weight_decay as
+    COUPLED L2 (grad += wd * param before the moments), which is
+    optax.add_decayed_weights chained BEFORE adam — not optax.adamw's
+    decoupled decay. AdamW maps to optax.adamw. Unknown types raise
+    instead of silently training with Adam.
+    """
     opt = dict(optim_opt)
-    opt.pop('type', None)
+    otype = opt.pop('type', 'Adam')
     betas = opt.get('betas', (0.9, 0.999))
     wd = opt.get('weight_decay', 0)
-    if wd:
-        return optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
-    return optax.adam(schedule, b1=betas[0], b2=betas[1])
+    if otype == 'AdamW':
+        return optax.adamw(schedule, b1=betas[0], b2=betas[1],
+                           weight_decay=wd)
+    if otype == 'Adam':
+        core = optax.adam(schedule, b1=betas[0], b2=betas[1])
+        if wd:
+            return optax.chain(optax.add_decayed_weights(wd), core)
+        return core
+    if otype == 'SGD':
+        return optax.sgd(schedule, momentum=opt.get('momentum', 0) or None,
+                         nesterov=bool(opt.get('nesterov', False)))
+    raise ValueError(f'unsupported optimizer type {otype!r} '
+                     "(supported: Adam, AdamW, SGD)")
 
 
 @MODEL_REGISTRY.register()
@@ -80,8 +100,13 @@ class FeMaSRModel(BaseModel):
     def __init__(self, opt: dict):
         super().__init__(opt)
         logger = get_root_logger()
-        # reference `num_gpu` semantics: train over the first N devices
-        num_devices = opt.get('num_gpu') or len(jax.devices())
+        # reference `num_gpu` semantics: train over the first N devices;
+        # an explicit 0 means none requested -> single device (don't treat
+        # 0 as falsy "use all")
+        num_devices = opt.get('num_gpu')
+        if num_devices is None or num_devices == 'auto':
+            num_devices = len(jax.devices())
+        num_devices = max(int(num_devices), 1)
         devices = jax.devices()[:num_devices]
         self.mesh = create_mesh(model=opt.get('model_parallel', 1),
                                 devices=devices)
@@ -133,7 +158,6 @@ class FeMaSRModel(BaseModel):
         if self.is_train:
             self.init_training_settings()
 
-        self.params_g_best = None
         self._inferencer: Optional[SRInferencer] = None
 
     # ------------------------------------------------------------------
@@ -242,6 +266,8 @@ class FeMaSRModel(BaseModel):
             (opt.get('datasets', {}).get('train', {}) or {}).get(
                 'on_device_degradation', False))
         self.fixed_disc = train_opt.get('fixed_disc', False)
+        # read-but-unused, exactly like the reference (femasr_model.py:104
+        # stores net_d_iters and optimize_parameters never consults it)
         self.net_d_iters = train_opt.get('net_d_iters', 1)
         self.net_d_init_iters = int(train_opt.get('net_d_init_iters', 0))
         self.codebook_w = (train_opt.get('codebook_opt') or {}).get(
@@ -261,7 +287,7 @@ class FeMaSRModel(BaseModel):
                                       train_opt['optim_g']['lr'], warmup)
         self.sched_d = build_schedule(train_opt.get('scheduler'),
                                       train_opt['optim_d']['lr'], warmup)
-        adam_g = _adam_from_opt(train_opt['optim_g'], self.sched_g)
+        adam_g = _optimizer_from_opt(train_opt['optim_g'], self.sched_g)
         keywords = self.opt['network_g'].get('frozen_module_keywords')
         if self.LQ_stage and keywords:
             labels = _frozen_mask_labels(self.params_g, keywords)
@@ -274,7 +300,7 @@ class FeMaSRModel(BaseModel):
                                    f'keywords {keywords}')
         else:
             self.tx_g = adam_g
-        self.tx_d = _adam_from_opt(train_opt['optim_d'], self.sched_d)
+        self.tx_d = _optimizer_from_opt(train_opt['optim_d'], self.sched_d)
 
         # place parameters on the mesh: tensor-parallel layout when a 'model'
         # axis exists (qkv/fc Megatron split + codebook axis), replicated
@@ -452,10 +478,8 @@ class FeMaSRModel(BaseModel):
 
             params_g_ema = state.params_g_ema
             if params_g_ema is not None:
-                decay = ema_decay
-                params_g_ema = jax.tree.map(
-                    lambda e, p: e * decay + p.astype(e.dtype) * (1 - decay),
-                    params_g_ema, params_g)
+                params_g_ema = BaseModel.ema_update(params_g_ema, params_g,
+                                                    ema_decay)
 
             new_state = state.replace(
                 step=state.step + 1, params_g=params_g, opt_g=opt_g,
@@ -663,27 +687,26 @@ class FeMaSRModel(BaseModel):
                         self._update_metric_result(
                             dataset_name, name, self.metric_results[name],
                             current_iter)
-                    self.copy_model_to_best()
-                    if self.is_train:  # offline eval has no models dir
-                        self.save_network(self.current_params_g(),
-                                          'net_g_best', '')
-                        self.save_network({'params': self.state.params_d,
-                                           'spectral': self.state.spectral},
-                                          'net_d_best', '', param_key='tree')
+                    self._save_best_models()
             else:
                 updated = [self._update_best_metric_result(
                     dataset_name, name, self.metric_results[name],
                     current_iter) for name in metric_funcs]
                 if sum(updated):
-                    self.copy_model_to_best()
-                    if self.is_train:
-                        self.save_network(self.current_params_g(),
-                                          'net_g_best', '')
+                    self._save_best_models()
             self._log_validation_metric_values(current_iter, dataset_name,
                                                tb_logger)
 
-    def copy_model_to_best(self):
-        self.params_g_best = jax.tree.map(np.asarray, self.current_params_g())
+    def _save_best_models(self):
+        """Persist net_g_best AND net_d_best (reference femasr_model.py
+        :304-326 saves both in every best-update branch); offline eval
+        (is_train False) has no models dir, so skip there."""
+        if not self.is_train:
+            return
+        self.save_network(self.current_params_g(), 'net_g_best', '')
+        self.save_network({'params': self.state.params_d,
+                           'spectral': self.state.spectral},
+                          'net_d_best', '', param_key='tree')
 
     def _log_validation_metric_values(self, current_iter, dataset_name,
                                       tb_logger):
@@ -710,8 +733,13 @@ class FeMaSRModel(BaseModel):
         codenum = int(self.opt['network_g']['codebook_params'][0][1])
         code_idx = jnp.arange(codenum).reshape(codenum, 1, 1)
         code_idx = jnp.tile(code_idx, (1, up_factor, up_factor))
-        apply_fn = jax.jit(lambda p, idx: self.net_g.apply(
-            {'params': p}, idx, method='decode_indices'))
+        # cached jit: a fresh lambda per call would recompile the decoder
+        # at every visualization interval
+        apply_fn = getattr(self, '_decode_indices_jit', None)
+        if apply_fn is None:
+            apply_fn = jax.jit(lambda p, idx: self.net_g.apply(
+                {'params': p}, idx, method='decode_indices'))
+            self._decode_indices_jit = apply_fn
         # decode in chunks to bound memory
         outs = []
         chunk = 256
@@ -763,12 +791,19 @@ class FeMaSRModel(BaseModel):
             target['params_g_ema'] = self.state.params_g_ema
         from flax import serialization
         restored = serialization.from_state_dict(target, saved)
-        self.state = self.state.replace(
-            step=jnp.asarray(restored['step']),
-            params_g=restored['params_g'], opt_g=restored['opt_g'],
-            params_d=restored['params_d'], opt_d=restored['opt_d'],
-            spectral=restored['spectral'], rng=jnp.asarray(restored['rng']),
-            params_g_ema=restored.get('params_g_ema',
-                                      self.state.params_g_ema))
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        # re-place every restored leaf with the SAME sharding the live
+        # state carries from init — a blanket replicated() here would
+        # silently collapse tensor-parallel param/optimizer layouts
+        # (model_parallel > 1) back to full replication on resume
+        shardings = jax.tree.map(lambda x: x.sharding, self.state)
+        self.state = jax.device_put(
+            self.state.replace(
+                step=jnp.asarray(restored['step']),
+                params_g=restored['params_g'], opt_g=restored['opt_g'],
+                params_d=restored['params_d'], opt_d=restored['opt_d'],
+                spectral=restored['spectral'],
+                rng=jnp.asarray(restored['rng']),
+                params_g_ema=restored.get('params_g_ema',
+                                          self.state.params_g_ema)),
+            shardings)
         return {'epoch': int(tree['epoch']), 'iter': int(tree['iter'])}

@@ -88,8 +88,10 @@ logger:
 
 def _mk_model(opt, exp_root):
     opt = dict(opt)
+    # keep an explicit integer num_gpu from the test; 'auto' -> 1 device
+    ngpu = opt.get('num_gpu') if isinstance(opt.get('num_gpu'), int) else 1
     opt.update({'is_train': True, 'dist': False, 'rank': 0, 'world_size': 1,
-                'num_gpu': 1})
+                'num_gpu': ngpu})
     for phase, d in opt['datasets'].items():
         d['phase'] = phase
         d['scale'] = opt['scale']
@@ -377,6 +379,51 @@ def test_net_d_checkpoint_roundtrip(hq_run, data_root, tmp_path_factory):
     got_s = jax.tree.leaves(model2.state.spectral)
     for a, b in zip(ref_s, got_s):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_resume_preserves_tensor_parallel_sharding(data_root, hq_run,
+                                                   tmp_path_factory):
+    """resume_training must re-place restored leaves with the SAME
+    shardings init produced — a TP (model_parallel=2) run that resumed
+    fully replicated would OOM models that only fit sharded."""
+    from jax.sharding import PartitionSpec as P
+    _, _, _, hq_exp = hq_run
+    exp = str(tmp_path_factory.mktemp('tp_resume'))
+    opt = _base_opt(data_root, 'tp_resume')
+    opt['model_parallel'] = 2
+    opt['num_gpu'] = 8
+    opt['network_g']['LQ_stage'] = True       # LQ stage has swin -> TP rules
+    opt['network_g']['scale_factor'] = 4
+    opt['network_g']['frozen_module_keywords'] = ['quantize', 'decoder']
+    opt['path']['pretrain_network_hq'] = os.path.join(hq_exp, 'models',
+                                                      'net_g_3.ckpt')
+    model, _ = _mk_model(opt, exp)
+
+    def tp_specs(params):
+        from flax.traverse_util import flatten_dict
+        return {k: v.sharding.spec for k, v in
+                flatten_dict(jax.tree.map(lambda x: x, params),
+                             sep='/').items() if 'qkv' in k}
+
+    before = tp_specs(model.state.params_g)
+    assert any(spec != P() for spec in before.values()), (
+        'expected TP-sharded qkv kernels at init')
+
+    batch = {'lq': np.random.rand(4, 16, 16, 3).astype(np.float32),
+             'gt': np.random.rand(4, 64, 64, 3).astype(np.float32)}
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    model.save(epoch=0, current_iter=1)
+
+    state_path = os.path.join(exp, 'training_states', '1.state')
+    meta = model.resume_training(state_path)
+    assert meta['iter'] == 1
+    after = tp_specs(model.state.params_g)
+    assert after == before, 'resume changed the parameter shardings'
+    # the resumed state still steps
+    model.feed_data(batch)
+    model.optimize_parameters(2)
+    assert np.isfinite(list(model.get_current_log().values())).all()
 
 
 def test_load_network_params_ema_fallback(tmp_path):

@@ -95,6 +95,19 @@ class DataLoader:
         out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch_queue)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # never block forever on a full queue: an abandoned consumer
+            # sets `stop` from the finally below, and the producer must
+            # notice even mid-put (else the daemon thread pins the dataset
+            # and prefetched batches for the process lifetime)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 import concurrent.futures as cf
@@ -104,11 +117,12 @@ class DataLoader:
                             return
                         samples = list(pool.map(self.dataset.__getitem__,
                                                 batch_idx))
-                        out_q.put(self.collate_fn(samples))
+                        if not put_or_stop(self.collate_fn(samples)):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put_or_stop(e)
             finally:
-                out_q.put(None)
+                put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -156,7 +170,15 @@ def build_dataloader(dataset, dataset_opt: dict, num_gpu: int = 1,
     """
     phase = dataset_opt['phase']
     if phase == 'train':
-        batch_size = dataset_opt.get('batch_size_per_gpu', 1) * max(num_gpu, 1)
+        # per-PROCESS batch: each host contributes its shard of the global
+        # batch (batch_size_per_gpu * num_gpu) — make_global_batch assembles
+        # the shards with make_array_from_process_local_data, so sizing by
+        # the global device count here would inflate the global batch
+        # process_count-fold on multi-host
+        import jax
+        local_devices = max(num_gpu, 1) // max(jax.process_count(), 1)
+        batch_size = (dataset_opt.get('batch_size_per_gpu', 1)
+                      * max(local_devices, 1))
         num_workers = dataset_opt.get('num_worker_per_gpu', 4)
         return DataLoader(dataset, batch_size=batch_size, sampler=sampler,
                           shuffle=sampler is None

@@ -36,8 +36,27 @@ class LPIPSMetric:
         return float(np.asarray(self._fn(self._params, a, b))[0])
 
 
+def _niqe_metric(img: np.ndarray, img2: Optional[np.ndarray] = None,
+                 pristine_params: str = '', **kwargs) -> float:
+    """No-reference NIQE through the factory; `pristine_params` is an .npz
+    with mu/cov from metrics.niqe.fit_niqe_params (the standard pristine
+    model ships as a non-redistributable blob — fit once, point the YAML
+    metric opt at it). The unused img2 keeps the (sr, gt) call signature."""
+    if not pristine_params:
+        raise ValueError(
+            "niqe metric needs pristine_params: <path to .npz with mu/cov> "
+            '(fit with femasr_tpu.metrics.niqe.fit_niqe_params)')
+    from .niqe import calculate_niqe
+    with np.load(pristine_params) as z:
+        mu, cov = z['mu'], z['cov']
+    return calculate_niqe(img, mu, cov, **kwargs)
+
+
+METRIC_REGISTRY.register(_niqe_metric, name='niqe')
+
+
 def create_metric(name: str, lpips_params=None, **mopt) -> Optional[Callable]:
-    """Build a metric function by name ('psnr' | 'ssim' | 'lpips')."""
+    """Build a metric function by name ('psnr' | 'ssim' | 'lpips' | 'niqe')."""
     if name == 'lpips':
         if lpips_params is None:
             return None

@@ -34,17 +34,22 @@ def estimate_ggd_param(vec: np.ndarray) -> Tuple[float, float]:
 
 
 def estimate_aggd_param(vec: np.ndarray) -> Tuple[float, float, float]:
-    """Asymmetric GGD (alpha, beta_l, beta_r) estimate."""
+    """Asymmetric GGD (alpha, beta_l, beta_r) estimate.
+
+    Canonical Lasmar/basicsr estimator: r_hat = E[|x|]^2 / E[x^2], then
+    r_hat_norm = r_hat * (g^3+1)(g+1)/(g^2+1)^2 with g = sigma_l/sigma_r,
+    and alpha = argmin (r_gam - r_hat_norm)^2 over the gamma lookup.
+    """
     left = vec[vec < 0]
     right = vec[vec >= 0]
     sigma_l = math.sqrt(np.mean(left ** 2)) if left.size else 1e-6
     sigma_r = math.sqrt(np.mean(right ** 2)) if right.size else 1e-6
     gamma_hat = sigma_l / (sigma_r + 1e-12)
     e = np.mean(np.abs(vec))
-    rho = np.mean(vec ** 2) / (e ** 2 + 1e-12)
-    rho_hat = rho * (gamma_hat ** 3 + 1) * (gamma_hat + 1) / (
+    r_hat = (e ** 2) / (np.mean(vec ** 2) + 1e-12)
+    r_hat_norm = r_hat * (gamma_hat ** 3 + 1) * (gamma_hat + 1) / (
         (gamma_hat ** 2 + 1) ** 2)
-    idx = np.argmin((_GAMMA_LOOKUP - 1.0 / (rho_hat + 1e-12)) ** 2)
+    idx = np.argmin((_GAMMA_LOOKUP - r_hat_norm) ** 2)
     alpha = float(_GAMMA_RANGE[idx])
     g1 = math.gamma(1 / alpha)
     g2 = math.gamma(2 / alpha)

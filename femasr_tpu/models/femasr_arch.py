@@ -236,6 +236,7 @@ class MultiScaleEncoder(nn.Module):
 
         if self.lq_stage:
             x = SwinLayers(mlp_ratio=self.swin_mlp_ratio,
+                           use_checkpoint=self.use_checkpoint,
                            attn_pack=self.attn_pack, dtype=self.dtype,
                            name=f'blocks_{idx}')(x)
             outputs.append(x)

@@ -236,7 +236,9 @@ def load_inferencer(weight_path: str, scale_factor: int = 4,
         from .convert import convert_femasr_checkpoint, load_torch_checkpoint
         sd = load_torch_checkpoint(weight_path)
         params = convert_femasr_checkpoint(
-            sd, codebook_params=codebook_params, LQ_stage=True,
+            sd, codebook_params=codebook_params,
+            LQ_stage=kwargs.get('lq_stage', True),  # HQ ckpts have a
+            # different encoder layout — convert with the matching one
             scale_factor=scale_factor)
     else:
         from ..utils.checkpoint import load_pytree

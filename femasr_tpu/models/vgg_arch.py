@@ -48,6 +48,23 @@ def vgg_layer_names(vgg_type: str, use_bn: bool = False) -> List[str]:
     return names
 
 
+class _FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm for the _bn VGG variants: running stats and
+    affine live as plain (frozen) params, converted from torchvision."""
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.param('mean', nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param('var', nn.initializers.ones, (c,), jnp.float32)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class VGGFeatureExtractor(nn.Module):
     """Frozen VGG feature taps by named layer.
 
@@ -69,17 +86,20 @@ class VGGFeatureExtractor(nn.Module):
             x = (x - jnp.asarray(IMAGENET_MEAN, x.dtype)) / jnp.asarray(
                 IMAGENET_STD, x.dtype)
 
-        names = vgg_layer_names(self.vgg_type)
+        base = self.vgg_type.replace('_bn', '')
+        use_bn = self.vgg_type.endswith('_bn')
+        names = vgg_layer_names(base, use_bn=use_bn)
         wanted = set(self.layer_name_list)
         remaining = set(wanted)
         out: Dict[str, jax.Array] = {}
         for name in names:
             if name.startswith('conv'):
-                features = int(
-                    VGG_CFGS[self.vgg_type][_conv_position(self.vgg_type, name)])
+                features = int(VGG_CFGS[base][_conv_position(base, name)])
                 x = nn.Conv(features, (3, 3), padding=((1, 1), (1, 1)),
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name=name)(x)
+            elif name.startswith('bn'):
+                x = _FrozenBatchNorm(dtype=self.dtype, name=name)(x)
             elif name.startswith('relu'):
                 x = nn.relu(x)
             elif name.startswith('pool'):
@@ -107,8 +127,13 @@ def _conv_position(vgg_type: str, conv_name: str) -> int:
 
 
 def convert_vgg_checkpoint(torch_sd, vgg_type: str = 'vgg19') -> Dict[str, Any]:
-    """torchvision VGG state_dict ('features.N.weight') -> flax params."""
-    names = vgg_layer_names(vgg_type)
+    """torchvision VGG state_dict ('features.N.weight') -> flax params.
+
+    Handles the _bn variants (features laid out conv/bn/relu; running stats
+    map onto _FrozenBatchNorm's mean/var params).
+    """
+    use_bn = vgg_type.endswith('_bn')
+    names = vgg_layer_names(vgg_type.replace('_bn', ''), use_bn=use_bn)
     params: Dict[str, Any] = {}
     feat_idx = 0
     for name in names:
@@ -117,7 +142,19 @@ def convert_vgg_checkpoint(torch_sd, vgg_type: str = 'vgg19') -> Dict[str, Any]:
             b = np.asarray(torch_sd[f'features.{feat_idx}.bias'])
             params[name] = {'kernel': np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
                             'bias': b}
-            feat_idx += 2  # conv + relu
+            feat_idx += 1
+        elif name.startswith('bn'):
+            params[name] = {
+                'scale': np.asarray(torch_sd[f'features.{feat_idx}.weight']),
+                'bias': np.asarray(torch_sd[f'features.{feat_idx}.bias']),
+                'mean': np.asarray(
+                    torch_sd[f'features.{feat_idx}.running_mean']),
+                'var': np.asarray(
+                    torch_sd[f'features.{feat_idx}.running_var']),
+            }
+            feat_idx += 1
+        elif name.startswith('relu'):
+            feat_idx += 1
         elif name.startswith('pool'):
             feat_idx += 1
     return params

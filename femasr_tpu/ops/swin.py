@@ -428,6 +428,7 @@ class SwinLayers(nn.Module):
     num_heads: int = 8
     window_size: int = 8
     mlp_ratio: float = 4.0
+    use_checkpoint: bool = False
     attn_backend: str = 'xla'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
@@ -440,6 +441,7 @@ class SwinLayers(nn.Module):
                      input_resolution=tuple(self.input_resolution),
                      depth=self.blk_depth, num_heads=self.num_heads,
                      window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                     use_checkpoint=self.use_checkpoint,
                      attn_backend=self.attn_backend,
                      attn_pack=self.attn_pack,
                      attn_pack_shifted=self.attn_pack_shifted,

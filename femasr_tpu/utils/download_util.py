@@ -34,11 +34,17 @@ def load_file_from_url(url: str, model_dir: str | None = None,
         return torch_hub
 
     if not os.path.exists(cached_file):
+        # tmp-write + atomic rename: an interrupted download must not
+        # leave a truncated file that later calls treat as a valid cache
+        tmp_file = cached_file + '.part'
         try:
             from urllib.request import urlretrieve
             print(f'Downloading: "{url}" to {cached_file}\n')
-            urlretrieve(url, cached_file)
+            urlretrieve(url, tmp_file)
+            os.replace(tmp_file, cached_file)
         except Exception as e:
+            if os.path.exists(tmp_file):
+                os.remove(tmp_file)
             raise FileNotFoundError(
                 f'Could not download {url} ({e}). Place the file manually at '
                 f'{cached_file} or pass an explicit weight path.') from e
@@ -74,6 +80,13 @@ def download_file_from_google_drive(file_id: str, save_path: str) -> None:
 
     final = f'{url}&id={file_id}' + (f'&confirm={token}' if token else '')
     os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
-    with opener.open(final) as resp, open(save_path, 'wb') as f:
-        shutil.copyfileobj(resp, f)
+    tmp_path = save_path + '.part'
+    try:
+        with opener.open(final) as resp, open(tmp_path, 'wb') as f:
+            shutil.copyfileobj(resp, f)
+        os.replace(tmp_path, save_path)
+    except Exception:
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        raise
     print(f'Downloaded gdrive file {file_id} -> {save_path}')

@@ -141,7 +141,12 @@ def parse_options(root_path: str,
     opt['rank'] = jax.process_index()
     opt['world_size'] = jax.process_count()
 
-    # random seed (reference: seed + rank)
+    # random seed (reference: seed + rank). NOTE exact reference parity:
+    # the reference seeds BEFORE applying --force_yml (options.py:110-128),
+    # so `--force_yml manual_seed=N` updates the archived opt but not the
+    # already-seeded host RNGs there or here. The jitted train step uses
+    # opt['manual_seed'] via jax.random keys, so device-side randomness
+    # DOES honor the override.
     seed = opt.get('manual_seed')
     if seed is None:
         seed = random.randint(1, 10000)

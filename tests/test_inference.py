@@ -95,6 +95,30 @@ def test_bucketed_folder_inference():
     assert np.median(diff) < 2e-2
 
 
+def test_load_inferencer_hq_pth(tmp_path):
+    """load_inferencer(lq_stage=False) converts an HQ .pth with the HQ
+    encoder layout (regression: LQ_stage was hardcoded True, silently
+    leaving the HQ down-blocks at random init)."""
+    femasr_arch = load_reference_module('basicsr.archs.femasr_arch')
+    torch.manual_seed(1)
+    tnet = femasr_arch.FeMaSRNet(codebook_params=CODEBOOK, LQ_stage=False,
+                                 norm_type='gn', act_type='silu').eval()
+    pth = tmp_path / 'hq.pth'
+    torch.save({'params': tnet.state_dict()}, str(pth))
+
+    from femasr_tpu.models.inference import load_inferencer
+    sr = load_inferencer(str(pth), scale_factor=4, dtype=jnp.float32,
+                         lq_stage=False)
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 32, 32, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = tnet.test(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    out = np.asarray(sr.run_padded(jnp.asarray(img)))
+    assert out.shape == tuple(np.moveaxis(ref.numpy(), 1, -1).shape)
+    np.testing.assert_allclose(
+        out, np.clip(np.moveaxis(ref.numpy(), 1, -1), 0, 1), atol=5e-4)
+
+
 def test_mesh_sharded_inference_matches_single_device():
     """DP-sharded serving over the 8-device CPU mesh == unsharded output
     (the reference's inference is strictly single-GPU; here batches shard

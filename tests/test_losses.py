@@ -72,6 +72,68 @@ def test_build_loss_from_yaml_opts():
     assert loss.loss_weight == 0.1
 
 
+def test_vgg_bn_variant_parity():
+    """vgg11_bn: converter + _FrozenBatchNorm match a literal torch mirror
+    of torchvision's conv/bn(eval)/relu/pool features layout."""
+    import torch.nn.functional as F
+    from femasr_tpu.models.vgg_arch import (VGG_CFGS, VGGFeatureExtractor,
+                                            convert_vgg_checkpoint)
+    rng = np.random.default_rng(4)
+    sd, layers = {}, []
+    feat_idx, in_ch = 0, 3
+    for v in VGG_CFGS['vgg11']:
+        if v == 'M':
+            layers.append(('pool', feat_idx))
+            feat_idx += 1
+            continue
+        sd[f'features.{feat_idx}.weight'] = (
+            rng.normal(size=(v, in_ch, 3, 3)).astype(np.float32) * 0.1)
+        sd[f'features.{feat_idx}.bias'] = (
+            rng.normal(size=(v,)).astype(np.float32) * 0.1)
+        layers.append(('conv', feat_idx))
+        feat_idx += 1
+        sd[f'features.{feat_idx}.weight'] = (
+            rng.random(v).astype(np.float32) + 0.5)
+        sd[f'features.{feat_idx}.bias'] = (
+            rng.normal(size=(v,)).astype(np.float32) * 0.1)
+        sd[f'features.{feat_idx}.running_mean'] = (
+            rng.normal(size=(v,)).astype(np.float32) * 0.1)
+        sd[f'features.{feat_idx}.running_var'] = (
+            rng.random(v).astype(np.float32) + 0.5)
+        layers.append(('bn', feat_idx))
+        feat_idx += 1
+        layers.append(('relu', feat_idx))
+        feat_idx += 1
+        in_ch = v
+
+    params = convert_vgg_checkpoint(sd, 'vgg11_bn')
+    x = rng.random((1, 32, 32, 3), dtype=np.float32)
+    ext = VGGFeatureExtractor(layer_name_list=['pool5'], vgg_type='vgg11_bn',
+                              use_input_norm=False)
+    out = ext.apply({'params': params}, jnp.asarray(x))['pool5']
+
+    t = nchw(x)
+    for kind, i in layers:
+        if kind == 'conv':
+            t = F.conv2d(t, torch.from_numpy(sd[f'features.{i}.weight']),
+                         torch.from_numpy(sd[f'features.{i}.bias']),
+                         padding=1)
+        elif kind == 'bn':
+            t = F.batch_norm(
+                t, torch.from_numpy(sd[f'features.{i}.running_mean']),
+                torch.from_numpy(sd[f'features.{i}.running_var']),
+                torch.from_numpy(sd[f'features.{i}.weight']),
+                torch.from_numpy(sd[f'features.{i}.bias']),
+                training=False, eps=1e-5)
+            t = F.relu(t)
+        elif kind == 'pool':
+            t = F.max_pool2d(t, 2)
+    ref = t.numpy().transpose(0, 2, 3, 1)
+    # magnitudes grow ~1e4 through 8 random conv+bn layers; compare
+    # relatively (f32 reduction-order noise scales with the values)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=1e-2)
+
+
 def test_lpips_formula_against_torch_mirror():
     """Validate the LPIPS computation graph with random weights against a
     literal torch implementation of the published formula."""

@@ -85,7 +85,20 @@ void* fmrs_open(const char* path) {
     munmap(base, st.st_size); ::close(fd); delete s; return nullptr;
   }
   memcpy(&s->n_items, s->base + 8, 8);
+  // bounds-validate the whole index against the mapping: a truncated or
+  // corrupt shard must fail open() cleanly, not SIGSEGV on first access
+  uint64_t index_end = 16 + s->n_items * (uint64_t)sizeof(IndexEntry);
+  if (index_end > (uint64_t)s->size) {
+    munmap(base, st.st_size); ::close(fd); delete s; return nullptr;
+  }
   s->index = reinterpret_cast<const IndexEntry*>(s->base + 16);
+  for (uint64_t i = 0; i < s->n_items; ++i) {
+    const IndexEntry& e = s->index[i];
+    uint64_t nbytes = (uint64_t)e.h * e.w * e.c;
+    if (e.offset < index_end || e.offset + nbytes > (uint64_t)s->size) {
+      munmap(base, st.st_size); ::close(fd); delete s; return nullptr;
+    }
+  }
   return s;
 }
 

@@ -79,35 +79,52 @@ def native_available() -> bool:
 
 
 class ShardStoreWriter:
-    """Pack HWC uint8 RGB images into one .fmrs file."""
+    """Pack HWC uint8 RGB images into one .fmrs file.
+
+    Streaming: pixel data is spooled to a sidecar file as images are
+    added (only per-image metadata stays in RAM), then stitched behind
+    the header+index at close — packing a full training set must not
+    hold it in memory (the reference lmdb writer streams with periodic
+    commits, lmdb_util.py:9-196).
+    """
 
     def __init__(self, path: str):
         assert path.endswith(FMRS_SUFFIX), f'path must end with {FMRS_SUFFIX}'
         self.path = path
-        self._items: List[Tuple[str, np.ndarray]] = []
+        self._meta: List[Tuple[bytes, int, int, int]] = []
+        os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+        self._data_path = path + '.data.tmp'
+        self._data_f = open(self._data_path, 'wb')
 
     def add(self, key: str, img: np.ndarray) -> None:
         assert img.dtype == np.uint8 and img.ndim == 3, 'HWC uint8 required'
-        self._items.append((key, np.ascontiguousarray(img)))
+        kb = key.encode('utf-8')
+        if len(kb) > 63:
+            raise ValueError(
+                f'shard key exceeds 63 utf-8 bytes: {key!r} — truncating '
+                'would silently collide/corrupt keys; use shorter keys')
+        self._meta.append((kb, *img.shape))
+        self._data_f.write(np.ascontiguousarray(img).tobytes())
 
     def close(self) -> None:
-        n = len(self._items)
+        self._data_f.close()
+        n = len(self._meta)
         header_size = 16 + n * _ENTRY.size
         offset = header_size
-        index = []
-        for key, img in self._items:
-            h, w, c = img.shape
-            index.append((offset, h, w, c, 0,
-                          key.encode('utf-8')[:63].ljust(64, b'\x00')))
-            offset += img.nbytes
-        os.makedirs(osp.dirname(osp.abspath(self.path)), exist_ok=True)
         with open(self.path, 'wb') as f:
             f.write(_MAGIC)
             f.write(struct.pack('<Q', n))
-            for entry in index:
-                f.write(_ENTRY.pack(*entry))
-            for _, img in self._items:
-                f.write(img.tobytes())
+            for kb, h, w, c in self._meta:
+                f.write(_ENTRY.pack(offset, h, w, c, 0,
+                                    kb.ljust(64, b'\x00')))
+                offset += h * w * c
+            with open(self._data_path, 'rb') as data_f:
+                while True:
+                    chunk = data_f.read(1 << 24)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+        os.remove(self._data_path)
 
     def __enter__(self):
         return self
@@ -174,6 +191,11 @@ class ShardStoreReader:
                      hflip: bool = True, vflip: bool = True,
                      rot90: bool = True, seed: int = 0) -> np.ndarray:
         """Augmented (B, crop, crop, 3) uint8 batch (C++ fast path)."""
+        if crop <= 0:
+            # the C++ side treats crop=0 as whole-image mode and would
+            # write past this fixed-shape buffer — full images have
+            # per-item shapes, use read() for those
+            raise ValueError(f'crop must be positive, got {crop}')
         batch = len(indices)
         out = np.empty((batch, crop, crop, 3), np.uint8)
         if self._lib is not None:

@@ -27,8 +27,15 @@ def _degrade_one(path_pair, sf):
     if img is None:
         return False
     rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.
-    lq, _ = degradation_bsrgan(rgb, sf=sf, lq_patchsize=rgb.shape[0] // sf // 2,
-                               use_crop=False)
+    # bound the patch-size check by BOTH sides and never let one bad
+    # image abort the whole Pool.map run
+    lq_ps = min(rgb.shape[0], rgb.shape[1]) // sf // 2
+    try:
+        lq, _ = degradation_bsrgan(rgb, sf=sf, lq_patchsize=lq_ps,
+                                   use_crop=False)
+    except Exception as e:  # noqa: BLE001 — per-image isolation
+        print(f'  ! skipping {src}: {type(e).__name__}: {e}', flush=True)
+        return False
     os.makedirs(osp.dirname(dst), exist_ok=True)
     cv2.imwrite(dst, cv2.cvtColor((np.clip(lq, 0, 1) * 255).round().astype(
         'uint8'), cv2.COLOR_RGB2BGR))

@@ -98,12 +98,19 @@ def main():
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
     def save(img_name, out):
+        # img_name is the INPUT-RELATIVE path, so same-named files in
+        # different subfolders cannot overwrite each other
         out_bgr = cv2.cvtColor(
             (np.clip(out, 0, 1) * 255.0).round().astype(np.uint8),
             cv2.COLOR_RGB2BGR)
         base, _ = os.path.splitext(img_name)
         suffix = f'_{args.suffix}' if args.suffix else ''
         imwrite(out_bgr, os.path.join(args.output, f'{base}{suffix}.png'))
+
+    def rel_name(path):
+        if os.path.isfile(args.input):
+            return os.path.basename(path)
+        return os.path.relpath(path, args.input)
 
     if args.bucket > 0:
         # bucketed batched mode: few XLA programs for a whole folder
@@ -114,7 +121,7 @@ def main():
                 print(f'  ! cannot read {path}, skipping')
                 continue
             imgs.append(rgb)
-            names.append(os.path.basename(path))
+            names.append(rel_name(path))
         t0 = time.time()
         outs = sr.run_bucketed(imgs, bucket=args.bucket,
                                max_batch=args.tile_batch)
@@ -127,7 +134,7 @@ def main():
         return
 
     for idx, path in enumerate(paths):
-        img_name = os.path.basename(path)
+        img_name = rel_name(path)
         print(f'[{idx + 1}/{len(paths)}] Processing: {img_name}', flush=True)
         rgb = read_rgb(path)
         if rgb is None:

@@ -12,6 +12,10 @@ Usage:
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, os.pardir))
 from multiprocessing import Pool
 from os import path as osp
 
@@ -30,6 +34,8 @@ def worker(args_tuple):
     if img is None:
         return f'{img_name}: unreadable'
     h, w = img.shape[0:2]
+    if h < crop_size or w < crop_size:
+        return f'{img_name}: skipped ({h}x{w} < crop_size {crop_size})'
     h_space = np.arange(0, h - crop_size + 1, step)
     if h - (h_space[-1] + crop_size) > thresh_size:
         h_space = np.append(h_space, h - crop_size)

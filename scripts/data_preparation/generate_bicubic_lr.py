@@ -12,6 +12,10 @@ Usage:
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, os.pardir))
 from os import path as osp
 
 import cv2

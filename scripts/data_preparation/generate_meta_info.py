@@ -5,6 +5,11 @@ Parity: /root/reference/scripts/data_preparation/generate_meta_info.py.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, os.pardir))
 from os import path as osp
 
 from PIL import Image

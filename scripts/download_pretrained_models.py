@@ -6,6 +6,11 @@ environments prints the URL and the expected cache path instead.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
 
 MODELS = {
     'FeMaSR_HRP_model_g': 'https://github.com/chaofengc/FeMaSR/releases/download/v0.1-pretrain_models/FeMaSR_HRP_model_g.pth',
@@ -17,8 +22,9 @@ MODELS = {
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('models', nargs='*', default=list(MODELS),
-                        help=f'subset of {sorted(MODELS)}')
+    parser.add_argument('models', nargs='*', default=None,
+                        choices=sorted(MODELS),
+                        help=f'subset of {sorted(MODELS)}; default: all')
     args = parser.parse_args()
 
     from femasr_tpu.utils.download_util import load_file_from_url

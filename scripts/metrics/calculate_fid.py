@@ -11,6 +11,11 @@ relu5_3 via --vgg_weights (numbers NOT comparable to literature FID).
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, os.pardir))
 
 
 def main():

@@ -7,6 +7,11 @@ lpips-package checkpoint via --lpips_weights).
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, os.pardir))
 from os import path as osp
 
 import cv2
@@ -37,9 +42,14 @@ def main():
         if not osp.exists(restored_path):
             restored_path = osp.join(args.restored,
                                      basename + args.suffix + '.png')
+        restored_bgr = cv2.imread(restored_path)
+        if restored_bgr is None:
+            print(f'{i + 1:3d}: {basename:25}. \tSKIPPED — restored image '
+                  f'not found/readable at {restored_path}')
+            continue
         gt = cv2.cvtColor(cv2.imread(gt_path),
                           cv2.COLOR_BGR2RGB).astype(np.float32) / 255.
-        restored = cv2.cvtColor(cv2.imread(restored_path),
+        restored = cv2.cvtColor(restored_bgr,
                                 cv2.COLOR_BGR2RGB).astype(np.float32) / 255.
         val = metric(restored, gt)
         print(f'{i + 1:3d}: {basename:25}. \tLPIPS: {val:.6f}')

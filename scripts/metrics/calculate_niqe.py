@@ -8,6 +8,10 @@ from a pristine-image folder (--pristine) and cached as .npz.
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, os.pardir))
 from os import path as osp
 
 import cv2

@@ -8,6 +8,11 @@ key layout so reference-side tools can consume our training results.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, os.pardir))
 
 
 def torch_to_flax(args):

@@ -1,5 +1,6 @@
 """Native FMRS shard store: build, roundtrip, batch sampling, fallback."""
 
+import os
 import numpy as np
 import pytest
 
@@ -115,3 +116,56 @@ def test_dataset_over_shard(tmp_path):
     fc = FileClient('shard', db_paths=shard_path)
     img = fc.get('b0')
     assert img.shape == (160, 160, 3)
+
+
+def test_writer_rejects_oversize_key(tmp_path):
+    from femasr_tpu.native.shardstore import ShardStoreWriter
+    w = ShardStoreWriter(str(tmp_path / 'k.fmrs'))
+    with pytest.raises(ValueError, match='63'):
+        w.add('x' * 80, np.zeros((4, 4, 3), np.uint8))
+    w.add('ok', np.zeros((4, 4, 3), np.uint8))
+    w.close()
+
+
+def test_sample_batch_rejects_nonpositive_crop(shard):
+    path, _ = shard
+    r = ShardStoreReader(path)
+    with pytest.raises(ValueError, match='crop'):
+        r.sample_batch([0], crop=0)
+    r.close()
+
+
+def test_truncated_shard_fails_cleanly(tmp_path):
+    """A shard cut mid-index must raise IOError at open, not SIGSEGV on
+    first access (C++ bounds validation)."""
+    from femasr_tpu.native.shardstore import (ShardStoreReader,
+                                              ShardStoreWriter,
+                                              native_available)
+    path = str(tmp_path / 't.fmrs')
+    with ShardStoreWriter(path) as w:
+        for i in range(4):
+            w.add(f'i{i}', np.full((16, 16, 3), i, np.uint8))
+    data = open(path, 'rb').read()
+    bad = str(tmp_path / 'bad.fmrs')
+    open(bad, 'wb').write(data[:16 + 40])  # magic+count intact, index cut
+    if native_available():
+        with pytest.raises(IOError):
+            ShardStoreReader(bad)
+
+
+def test_streaming_writer_roundtrip(tmp_path):
+    """Post-streaming-rewrite: bytes land where the index says."""
+    from femasr_tpu.native.shardstore import ShardStoreReader, ShardStoreWriter
+    rng = np.random.default_rng(9)
+    imgs = [(f'k{i}', (rng.random((8 + i, 10, 3)) * 255).astype(np.uint8))
+            for i in range(5)]
+    path = str(tmp_path / 's.fmrs')
+    with ShardStoreWriter(path) as w:
+        for k, im in imgs:
+            w.add(k, im)
+    assert not os.path.exists(path + '.data.tmp')
+    r = ShardStoreReader(path)
+    assert r.keys() == [k for k, _ in imgs]
+    for i, (_, im) in enumerate(imgs):
+        np.testing.assert_array_equal(r.read(i), im)
+    r.close()

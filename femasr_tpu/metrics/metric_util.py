@@ -38,18 +38,19 @@ class LPIPSMetric:
 
 def _niqe_metric(img: np.ndarray, img2: Optional[np.ndarray] = None,
                  pristine_params: str = '', **kwargs) -> float:
-    """No-reference NIQE through the factory; `pristine_params` is an .npz
-    with mu/cov from metrics.niqe.fit_niqe_params (the standard pristine
-    model ships as a non-redistributable blob — fit once, point the YAML
-    metric opt at it). The unused img2 keeps the (sr, gt) call signature."""
+    """No-reference NIQE through the factory; `pristine_params` accepts any
+    standard artifact — basicsr's niqe_pris_params.npz (canonical,
+    literature-comparable), the MATLAB modelparameters.mat, or a local
+    mu/cov .npz fit with metrics.niqe.fit_niqe_params. The unused img2
+    keeps the (sr, gt) call signature."""
     if not pristine_params:
         raise ValueError(
-            "niqe metric needs pristine_params: <path to .npz with mu/cov> "
-            '(fit with femasr_tpu.metrics.niqe.fit_niqe_params)')
-    from .niqe import calculate_niqe
-    with np.load(pristine_params) as z:
-        mu, cov = z['mu'], z['cov']
-    return calculate_niqe(img, mu, cov, **kwargs)
+            'niqe metric needs pristine_params: <path to '
+            'niqe_pris_params.npz / modelparameters.mat / fitted mu-cov '
+            '.npz> (fit with femasr_tpu.metrics.niqe.fit_niqe_params)')
+    from .niqe import calculate_niqe, load_niqe_pris_params
+    mu, cov, window = load_niqe_pris_params(pristine_params)
+    return calculate_niqe(img, mu, cov, gaussian_window=window, **kwargs)
 
 
 METRIC_REGISTRY.register(_niqe_metric, name='niqe')

@@ -132,6 +132,14 @@ class ResBlockS2D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.channel
+        # prelu owns a (C,) alpha which cannot broadcast against the
+        # (..., 4C) phase-major tensor — fail with a clear message rather
+        # than an opaque broadcast error at init (mirrors NormLayerS2D's
+        # gn-only assert)
+        assert self.act_type.lower() in (
+            'relu', 'leakyrelu', 'silu', 'gelu', 'none'), (
+            f's2d decoder tail requires a phase-shape-agnostic activation, '
+            f'got act_type={self.act_type!r} (prelu is unsupported)')
         res = NormLayerS2D(c, self.norm_type, self.dtype,
                            name='norm1')(x, train)
         res = ActLayer(c, self.act_type, self.dtype, name='act1')(res)
@@ -271,6 +279,9 @@ class FeMaSRNet(nn.Module):
     use_semantic_loss: bool = False
     use_residual: bool = True
     vq_backend: str = 'xla'
+    # force f32 codebook index search in bf16 models (reference-exact
+    # indices for gt-index generation / eval parity — ops/quantize.py)
+    vq_index_f32: bool = False
     use_checkpoint: bool = False
     fused_upsample: bool = False
     # evaluate the last decoder level + out_conv in the 2x2 space-to-depth
@@ -340,6 +351,7 @@ class FeMaSRNet(nn.Module):
             quantizers.append(VectorQuantizer(
                 n_e=emb_nums[scale], e_dim=emb_dims[scale],
                 lq_stage=self.LQ_stage, backend=self.vq_backend,
+                index_f32=self.vq_index_f32,
                 dtype=self.dtype, name=f'quantize_group_{scale}'))
             scale_in_ch = CHANNEL_QUERY_DICT[scales[scale]]
             if scale == 0:

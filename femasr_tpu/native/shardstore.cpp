@@ -86,16 +86,25 @@ void* fmrs_open(const char* path) {
   }
   memcpy(&s->n_items, s->base + 8, 8);
   // bounds-validate the whole index against the mapping: a truncated or
-  // corrupt shard must fail open() cleanly, not SIGSEGV on first access
-  uint64_t index_end = 16 + s->n_items * (uint64_t)sizeof(IndexEntry);
-  if (index_end > (uint64_t)s->size) {
+  // corrupt shard must fail open() cleanly, not SIGSEGV on first access.
+  // All checks are written in overflow-safe form (division / subtraction
+  // against already-validated bounds) so a corrupt header with huge
+  // n_items/offset cannot wrap uint64 arithmetic and slip past.
+  if (s->n_items > ((uint64_t)s->size - 16) / sizeof(IndexEntry)) {
     munmap(base, st.st_size); ::close(fd); delete s; return nullptr;
   }
+  uint64_t index_end = 16 + s->n_items * (uint64_t)sizeof(IndexEntry);
   s->index = reinterpret_cast<const IndexEntry*>(s->base + 16);
   for (uint64_t i = 0; i < s->n_items; ++i) {
     const IndexEntry& e = s->index[i];
+    // h*w*c can overflow only if h,w,c are near 2^32; bound them first so
+    // the product fits (2^21)^3 < 2^63.
+    if (e.h > (1u << 21) || e.w > (1u << 21) || e.c > 16) {
+      munmap(base, st.st_size); ::close(fd); delete s; return nullptr;
+    }
     uint64_t nbytes = (uint64_t)e.h * e.w * e.c;
-    if (e.offset < index_end || e.offset + nbytes > (uint64_t)s->size) {
+    if (e.offset < index_end || e.offset > (uint64_t)s->size ||
+        nbytes > (uint64_t)s->size - e.offset) {
       munmap(base, st.st_size); ::close(fd); delete s; return nullptr;
     }
   }

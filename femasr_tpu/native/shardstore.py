@@ -107,7 +107,10 @@ class ShardStoreWriter:
         self._data_f.write(np.ascontiguousarray(img).tobytes())
 
     def close(self) -> None:
+        if self._data_f is None:  # idempotent: second close is a no-op
+            return
         self._data_f.close()
+        self._data_f = None
         n = len(self._meta)
         header_size = 16 + n * _ENTRY.size
         offset = header_size
@@ -126,11 +129,24 @@ class ShardStoreWriter:
                     f.write(chunk)
         os.remove(self._data_path)
 
+    def abort(self) -> None:
+        """Discard the spool without finalizing a shard at the dest path."""
+        if self._data_f is not None:
+            self._data_f.close()
+            self._data_f = None
+        if osp.exists(self._data_path):
+            os.remove(self._data_path)
+
     def __enter__(self):
         return self
 
-    def __exit__(self, *a):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        # on exception, do NOT finalize: a partial-but-valid-looking shard
+        # at the destination path would silently truncate the dataset
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
 
 
 class ShardStoreReader:

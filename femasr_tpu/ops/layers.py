@@ -43,12 +43,17 @@ class GroupNorm(nn.Module):
         # into ONE pass over the activation (jnp.var would serialize a mean
         # pass then a squared-deviation pass — 2x the HBM reads, which
         # dominates at the decoder tail where activations reach 0.5-1 GB).
-        # var = E[x^2] - E[x]^2 in f32 is safe at activation magnitudes.
+        # A per-group shift (one sampled element) centers the pass so
+        # E[d^2]-E[d]^2 cannot catastrophically cancel when |mean| >> std;
+        # the shifted form stays a single fused read of the activation.
         xg = x.reshape(b, -1, g, c // g)
         xf = xg.astype(jnp.float32)
-        mean = xf.mean(axis=(1, 3))                        # (B, G)
-        mean2 = jnp.square(xf).mean(axis=(1, 3))           # (B, G)
-        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        shift = jax.lax.stop_gradient(xf[:, 0, :, 0])      # (B, G)
+        d = xf - shift[:, None, :, None]
+        dmean = d.mean(axis=(1, 3))                        # (B, G)
+        dmean2 = jnp.square(d).mean(axis=(1, 3))           # (B, G)
+        mean = shift + dmean
+        var = jnp.maximum(dmean2 - jnp.square(dmean), 0.0)
         inv = jax.lax.rsqrt(var + self.eps)                # (B, G)
         mean_c = jnp.repeat(mean, c // g, axis=1)          # (B, C)
         inv_c = jnp.repeat(inv, c // g, axis=1)            # (B, C)
@@ -381,12 +386,21 @@ class GroupNormS2D(nn.Module):
         # waste, which OOMs at the decoder tail), then fold the tiny
         # (B, 4C) result into HR channel groups. Equal counts per channel
         # make the mean-of-means exact.
+        # per-group shift (one sampled element) guards the E[d^2]-E[d]^2
+        # form against catastrophic cancellation when |mean| >> std (same
+        # fix as GroupNorm above); the single fused read is preserved.
         xf = x.astype(jnp.float32)
-        m1 = xf.mean(axis=tuple(range(1, x.ndim - 1)))          # (B, 4C)
-        m2 = jnp.square(xf).mean(axis=tuple(range(1, x.ndim - 1)))
-        mean = m1.reshape(b, 4, g, c // g).mean(axis=(1, 3))    # (B, G)
-        mean2 = m2.reshape(b, 4, g, c // g).mean(axis=(1, 3))
-        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        flat0 = xf.reshape(b, -1, c4)[:, 0, :]                  # (B, 4C)
+        shift = jax.lax.stop_gradient(
+            flat0.reshape(b, 4, g, c // g)[:, 0, :, 0])         # (B, G)
+        shift_c = jnp.tile(jnp.repeat(shift, c // g, axis=1), (1, 4))
+        d = xf - shift_c.reshape((b,) + (1,) * (x.ndim - 2) + (c4,))
+        m1 = d.mean(axis=tuple(range(1, x.ndim - 1)))           # (B, 4C)
+        m2 = jnp.square(d).mean(axis=tuple(range(1, x.ndim - 1)))
+        dmean = m1.reshape(b, 4, g, c // g).mean(axis=(1, 3))   # (B, G)
+        dmean2 = m2.reshape(b, 4, g, c // g).mean(axis=(1, 3))
+        mean = shift + dmean
+        var = jnp.maximum(dmean2 - jnp.square(dmean), 0.0)
         inv = jax.lax.rsqrt(var + self.eps)
         mean_c = jnp.tile(jnp.repeat(mean, c // g, axis=1), (1, 4))  # (B, 4C)
         inv_c = jnp.tile(jnp.repeat(inv, c // g, axis=1), (1, 4))

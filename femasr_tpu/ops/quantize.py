@@ -29,16 +29,25 @@ Dtype = Any
 
 
 def nearest_code_indices(z_flat: jax.Array, codebook: jax.Array,
-                         backend: str = 'xla') -> jax.Array:
+                         backend: str = 'xla',
+                         index_f32: bool = False) -> jax.Array:
     """argmin_j ||z_i - c_j||^2 for flattened tokens.
 
     Args:
         z_flat: (N, C) float tokens.
         codebook: (n_e, C) float codebook.
         backend: 'xla' | 'pallas'.
+        index_f32: force the token x codebook cross term to f32 even when
+            tokens are bf16. In bf16 models the default path casts the
+            codebook to the token dtype for MXU rate, so nearest-code
+            indices can flip on near-ties vs the f32/reference path; set
+            this for gt-index generation or eval-parity checks where index
+            agreement matters more than throughput (see PARITY.md).
     Returns:
         (N,) int32 indices.
     """
+    if index_f32:
+        z_flat = z_flat.astype(jnp.float32)
     if backend == 'pallas':
         from .pallas.vq import vq_argmin
         return vq_argmin(z_flat, codebook)
@@ -71,7 +80,9 @@ def vector_quantize(z: jax.Array,
                     gt_indices: Optional[jax.Array] = None,
                     beta: float = 0.25,
                     lq_stage: bool = False,
-                    backend: str = 'xla') -> Tuple[jax.Array, jax.Array, jax.Array]:
+                    backend: str = 'xla',
+                    index_f32: bool = False
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Quantize z -> nearest codebook entries with straight-through gradients.
 
     Args:
@@ -97,7 +108,8 @@ def vector_quantize(z: jax.Array,
     cb32 = codebook.astype(jnp.float32)
 
     indices = nearest_code_indices(
-        jax.lax.stop_gradient(z.reshape(-1, c)), codebook, backend=backend)
+        jax.lax.stop_gradient(z.reshape(-1, c)), codebook, backend=backend,
+        index_f32=index_f32)
     z_q = jnp.take(cb32, indices, axis=0).reshape(b, h, w, c)
 
     if gt_indices is not None:
@@ -141,6 +153,9 @@ class VectorQuantizer(nn.Module):
     beta: float = 0.25
     lq_stage: bool = False
     backend: str = 'xla'
+    # force f32 index search in bf16 models (reference-exact indices for
+    # gt-index generation / eval parity; see nearest_code_indices)
+    index_f32: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -156,7 +171,8 @@ class VectorQuantizer(nn.Module):
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         return vector_quantize(z, self.embedding, gt_indices=gt_indices,
                                beta=self.beta, lq_stage=self.lq_stage,
-                               backend=self.backend)
+                               backend=self.backend,
+                               index_f32=self.index_f32)
 
     def get_codebook_entry(self, indices: jax.Array) -> jax.Array:
         """Decode an int index map (B, H, W) or (B, 1, H, W) to embeddings (B, H, W, C).

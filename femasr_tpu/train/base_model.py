@@ -29,6 +29,12 @@ class BaseModel:
         self.log_dict: Dict[str, float] = {}
         self.best_metric_results: Dict[str, Dict[str, Dict[str, Any]]] = {}
 
+    def wrap_loader(self, loader):
+        """Optionally wrap the train loader with a device prefetcher
+        (models that stage batches on device override this; default is a
+        pass-through). Called once by train_pipeline."""
+        return loader
+
     # -- validation dispatch (base_model.py:36-48) --------------------------
 
     def validation(self, dataloader, current_iter, tb_logger, save_img=False,

@@ -141,10 +141,14 @@ def train_pipeline(root_path: str, argv=None):
     data_timer, iter_timer = AvgTimer(), AvgTimer()
     start_time = time.time()
 
+    # device prefetch: batch N+1's host->device copy overlaps step N's
+    # async dispatch (FeMaSRModel wraps with data.loader.DevicePrefetcher)
+    fetch_loader = model.wrap_loader(train_loader)
+
     epoch = start_epoch
     while current_iter <= total_iters:
         train_sampler.set_epoch(epoch)
-        for train_data in train_loader:
+        for train_data in fetch_loader:
             data_timer.record()
             current_iter += 1
             if current_iter > total_iters:

@@ -51,7 +51,11 @@ def make_exp_dirs(opt: dict) -> None:
     else:
         mkdir_and_rename(path_opt.pop('results_root'))
     for key, p in path_opt.items():
-        if ('strict_load' in key or 'pretrain_network' in key
+        # 'pretrain' (not just 'pretrain_network') also covers our
+        # pretrain_lpips / pretrain_vgg weight-file keys — mkdir'ing a
+        # weight FILE path breaks test.py (caught by run_parity_suite
+        # --dryrun config 5)
+        if ('strict_load' in key or 'pretrain' in key
                 or 'resume' in key or 'param_key' in key or p is None):
             continue
         os.makedirs(p, exist_ok=True)

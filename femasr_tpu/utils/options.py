@@ -122,9 +122,15 @@ def parse_options(root_path: str,
     parser.add_argument('--auto_resume', action='store_true')
     parser.add_argument('--debug', action='store_true')
     parser.add_argument('--local_rank', type=int, default=0)
-    parser.add_argument('--force_yml', nargs='+', default=None,
-                        help='Force to update yml files. Examples: train:ema_decay=0.999')
+    parser.add_argument('--force_yml', nargs='+', action='append',
+                        default=None,
+                        help='Force to update yml files. Examples: '
+                             'train:ema_decay=0.999. May be given once with '
+                             'several entries (reference style) or repeated '
+                             '(each occurrence accumulates, not overwrites)')
     args = parser.parse_args(argv)
+    if args.force_yml is not None:  # flatten append-of-nargs lists
+        args.force_yml = [e for group in args.force_yml for e in group]
 
     opt = yaml_load(args.opt)
 

@@ -120,3 +120,45 @@ def test_hifacegan_templates(tmp_path):
     mod.create_training_dataset('sr4x', str(gt_dir), str(tmp_path / 'sr'))
     sr = cv2.imread(str(tmp_path / 'sr' / 'a.png'))
     assert sr.shape[:2] == (512, 512)
+
+
+def test_back_projection_improves_consistency(tmp_path):
+    """Both MATLAB-parity modes must reduce ||down(SR) - LR|| (the quantity
+    back-projection iterates on, backprojection.m / main_reverse_filter.m),
+    and the CLI must process a folder end-to-end."""
+    mod = _load('back_projection')
+    rng = np.random.default_rng(0)
+    gt = cv2.resize((rng.random((16, 16, 3)) * 255).astype(np.uint8),
+                    (64, 64), interpolation=cv2.INTER_CUBIC)
+    gt = gt.astype(np.float64) / 255.0
+    im_l = mod._resize_to(gt, 16, 16)
+    # a degraded "SR result": blurred + noisy
+    im_h = cv2.GaussianBlur(gt.astype(np.float32), (5, 5), 1.2).astype(
+        np.float64) + rng.normal(0, 0.01, gt.shape)
+
+    def consistency(x):
+        return float(np.mean((mod._resize_to(x, 16, 16) - im_l) ** 2))
+
+    before = consistency(im_h)
+    for fn in (lambda: mod.backprojection(im_h, im_l, 10),
+               lambda: mod.reverse_filter(im_h, im_l, 4, 10)):
+        out = fn()
+        assert out.shape == im_h.shape
+        assert consistency(out) < before * 0.5
+
+    # CLI end-to-end
+    lr_dir, sr_dir, out_dir = (tmp_path / d for d in ('lr', 'sr', 'out'))
+    lr_dir.mkdir(); sr_dir.mkdir()
+    cv2.imwrite(str(lr_dir / 'a.png'),
+                (np.clip(im_l, 0, 1) * 255).astype(np.uint8))
+    cv2.imwrite(str(sr_dir / 'a.png'),
+                (np.clip(im_h, 0, 1) * 255).astype(np.uint8))
+    argv = sys.argv
+    sys.argv = ['back_projection.py', '--lr', str(lr_dir), '--sr',
+                str(sr_dir), '--out', str(out_dir), '--mode', 'bp',
+                '--iters', '3']
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    assert (out_dir / 'a.png').exists()

@@ -52,3 +52,4 @@ def test_dryrun_multichip_8_as_driver_calls_it():
     assert proc.returncode == 0, (
         f'stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}')
     assert '[dryrun_multichip] OK' in proc.stdout
+    assert '[dryrun_multichip] serving OK' in proc.stdout

@@ -190,3 +190,38 @@ def test_lpips_formula_against_torch_mirror():
         total = total + (d2 * lw).sum(1).mean()
 
     np.testing.assert_allclose(float(dist[0]), float(total), rtol=1e-4)
+
+
+def test_lpips_against_real_package():
+    """Diff the JAX LPIPS port against the actual `lpips` pip package
+    (bundled lin weights + torchvision vgg16), when available.
+
+    This is the final-word check PARITY.md's 'local mirror' caveat defers
+    to; the package is absent in the zero-egress build container, so the
+    test skips there (recorded blocker, VERDICT round-2 item 6) and runs
+    automatically on any machine that has it.
+    """
+    pytest.importorskip('lpips')
+    import lpips as lpips_pkg
+
+    try:
+        ref = lpips_pkg.LPIPS(net='vgg', verbose=False)
+    except Exception as e:  # torchvision backbone download blocked
+        pytest.skip(f'lpips package present but backbone unavailable: {e}')
+    ref.eval()
+
+    from femasr_tpu.losses.lpips import convert_lpips_checkpoint
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {'params': convert_lpips_checkpoint(sd)}
+    assert 'net' in params['params'], 'backbone not embedded in state_dict'
+
+    rng = np.random.default_rng(7)
+    x = rng.random((2, 32, 32, 3), dtype=np.float32)
+    y = rng.random((2, 32, 32, 3), dtype=np.float32)
+    ours = LPIPS().apply(params, jnp.asarray(x), jnp.asarray(y))
+
+    with torch.no_grad():
+        # the package expects [-1, 1] NCHW
+        theirs = ref(nchw(x) * 2 - 1, nchw(y) * 2 - 1).reshape(-1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-4,
+                               atol=1e-6)

@@ -122,6 +122,44 @@ def test_vector_quantizer_parity(lq_stage):
     np.testing.assert_allclose(np.asarray(zgrad), zgrad_ref, atol=1e-5)
 
 
+def test_vector_quantizer_real_weight_indices():
+    """Index fidelity on the RELEASED codebook (BASELINE config 3).
+
+    Picks up real checkpoints from $FEMASR_REAL_WEIGHTS (the PARITY.md /
+    scripts/run_parity_suite.py hook); skips in the air-gapped container.
+    Works with any .pth in the release layout (incl. the dryrun stand-ins).
+    """
+    import os
+    wdir = os.environ.get('FEMASR_REAL_WEIGHTS')
+    if not wdir:
+        pytest.skip('FEMASR_REAL_WEIGHTS not set (weights absent in env)')
+    path = os.path.join(os.path.expanduser(wdir), 'FeMaSR_HRP_model_g.pth')
+    if not os.path.exists(path):
+        pytest.skip(f'{path} not present')
+
+    from femasr_tpu.models.convert import load_torch_checkpoint
+    from femasr_tpu.ops.quantize import nearest_code_indices
+    sd = load_torch_checkpoint(path)
+    key = [k for k in sd if k.endswith('quantize_group.0.embedding.weight')]
+    assert key, f'no codebook key in {path}'
+    codebook = np.asarray(sd[key[0]], np.float32)
+
+    femasr_arch = load_reference_module('basicsr.archs.femasr_arch')
+    tvq = femasr_arch.VectorQuantizer(*codebook.shape).eval()
+    with torch.no_grad():
+        tvq.embedding.weight.copy_(torch.from_numpy(codebook))
+
+    z = torch.randn(512, codebook.shape[1],
+                    generator=torch.Generator().manual_seed(0))
+    d = (z.pow(2).sum(1, keepdim=True)
+         + tvq.embedding.weight.pow(2).sum(1)
+         - 2 * z @ tvq.embedding.weight.t())
+    idx_ref = torch.argmin(d, dim=1).numpy()
+    idx = np.asarray(nearest_code_indices(jnp.asarray(z.numpy()),
+                                          jnp.asarray(codebook)))
+    np.testing.assert_array_equal(idx, idx_ref)
+
+
 def test_vector_quantizer_ste_gradient():
     """d(z_q_ste)/dz must be identity (straight-through)."""
     cb = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)), jnp.float32)

@@ -9,6 +9,7 @@ nearest-neighbor resizing expressed as reshape/broadcast (no gather).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -254,21 +255,29 @@ def fused_upsample2x_conv3(x: jax.Array, kernel: jax.Array,
 # exact re-associations of the HR ops (parity-tested to float tolerance).
 # ---------------------------------------------------------------------------
 
-def s2d_phase_slices(y: jax.Array, o: int) -> jax.Array:
+# Trailing overhang of the padded S2D conv outputs. 1 = minimal (h+1, w+1)
+# intermediates; 8 pads the conv output to a sublane-aligned (h+8, w+8) so
+# the phase-slice reassembly reads tile-aligned windows (round-2 measured
+# the h+1 intermediates breaking XLA's tiling — NOTES_ROUND2.md s2d_tail;
+# costs ~(1+8/h)^2 extra conv FLOPs). Env-tunable for the TPU probe.
+S2D_ALIGN = max(1, int(os.environ.get('FEMASR_S2D_ALIGN', '1')))
+
+
+def s2d_phase_slices(y: jax.Array, o: int, align: int = None) -> jax.Array:
     """Re-align the 4 phase blocks of a padded S2D conv output.
 
-    y: (B, h+1, w+1, 4O) from a pad-1 VALID 2x2 conv; phase p=py*2+px lives
-    in channels [p*O:(p+1)*O] and needs spatial offset (py, px). Returns
-    (B, h, w, 4O) phase-major. XLA fuses the concat-of-slices into the
-    consumer, so this costs no extra HBM pass.
+    y: (B, h+k, w+k, 4O) from a ((1,k),(1,k))-padded VALID 2x2 conv
+    (k = align); phase p=py*2+px lives in channels [p*O:(p+1)*O] and needs
+    spatial offset (py, px). Returns (B, h, w, 4O) phase-major.
     """
+    k = S2D_ALIGN if align is None else align
     b, hp, wp, _ = y.shape
-    h, w = hp - 1, wp - 1
+    h, w = hp - k, wp - k
     return jnp.concatenate([
         y[:, :h, :w, 0 * o:1 * o],
-        y[:, :h, 1:, 1 * o:2 * o],
-        y[:, 1:, :w, 2 * o:3 * o],
-        y[:, 1:, 1:, 3 * o:4 * o],
+        y[:, :h, 1:1 + w, 1 * o:2 * o],
+        y[:, 1:1 + h, :w, 2 * o:3 * o],
+        y[:, 1:1 + h, 1:1 + w, 3 * o:4 * o],
     ], axis=-1)
 
 
@@ -292,7 +301,7 @@ def upconv3_s2d(x: jax.Array, kernel: jax.Array,
     kk = jnp.concatenate([cols(rows0, 0), cols(rows0, 1),
                           cols(rows1, 0), cols(rows1, 1)], axis=-1)
     y = jax.lax.conv_general_dilated(
-        x, kk.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        x, kk.astype(x.dtype), (1, 1), ((1, S2D_ALIGN), (1, S2D_ALIGN)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     out = s2d_phase_slices(y, kernel.shape[-1])
     if bias is not None:
@@ -343,7 +352,7 @@ def conv3_s2d(x_s2d: jax.Array, kernel: jax.Array,
     """
     kk = _s2d_kernel_from_hr(kernel).astype(x_s2d.dtype)
     y = jax.lax.conv_general_dilated(
-        x_s2d, kk, (1, 1), ((1, 1), (1, 1)),
+        x_s2d, kk, (1, 1), ((1, S2D_ALIGN), (1, S2D_ALIGN)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     out = s2d_phase_slices(y, kernel.shape[-1])
     if bias is not None:

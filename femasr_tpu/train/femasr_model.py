@@ -495,6 +495,27 @@ class FeMaSRModel(BaseModel):
                 aux['gt_rec'] = gt_rec
             return new_state, loss_dict, aux
 
+        self._train_step_fn = train_step
+
+        def train_chain(state, lq_stack, gt_stack, params_hq):
+            """K G+D steps inside ONE dispatch (lax.scan, donated state).
+
+            Sidesteps per-dispatch host round-trips of the full optimizer
+            state (the relay ships params + both Adam moments per execute
+            call — NOTES_ROUND2.md measured 1.43 s/step of pure dispatch
+            overhead on millisecond compute). Returns per-step loss
+            stacks; the big SR outputs are NOT accumulated.
+            """
+            has_lq = lq_stack.ndim == gt_stack.ndim  # else a (K, 1) dummy
+
+            def body(st, xs):
+                lq, gt = (xs if has_lq else (None, xs[1]))
+                st, loss_dict, _ = train_step(st, lq, gt, params_hq)
+                return st, loss_dict
+
+            return jax.lax.scan(body, state, (lq_stack, gt_stack))
+
+        self._train_chain = jax.jit(train_chain, donate_argnums=(0,))
         return jax.jit(train_step, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
@@ -519,6 +540,32 @@ class FeMaSRModel(BaseModel):
             batch = make_global_batch(self.mesh, data)
         self.lq = batch.get('lq')
         self.gt = batch.get('gt')
+
+    def optimize_parameters_chained(self, batch_list) -> None:
+        """Run len(batch_list) training steps in ONE jitted dispatch.
+
+        batch_list: list of dicts with 'gt' (+ optional 'lq') arrays of
+        identical shapes. Relay/dispatch-bound hosts amortize the per-call
+        argument round-trip K-fold; per-step losses are recorded, the last
+        step's populate get_current_log(). See train_chain in
+        _build_train_step.
+        """
+        k = len(batch_list)
+        gt_stack = jnp.stack([b['gt'] for b in batch_list])
+        if batch_list[0].get('lq') is not None:
+            lq_stack = jnp.stack([b['lq'] for b in batch_list])
+        else:
+            lq_stack = jnp.zeros((k, 1), jnp.float32)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from ..parallel.mesh import NamedSharding, P
+            gt_stack = jax.device_put(
+                gt_stack, NamedSharding(self.mesh, P(None, 'data')))
+            if lq_stack.ndim == gt_stack.ndim:
+                lq_stack = jax.device_put(
+                    lq_stack, NamedSharding(self.mesh, P(None, 'data')))
+        self.state, losses = self._train_chain(
+            self.state, lq_stack, gt_stack, self.params_hq)
+        self._device_log = {key: v[-1] for key, v in losses.items()}
 
     def optimize_parameters(self, current_iter: int) -> None:
         self.state, loss_dict, aux = self._train_step(

@@ -503,3 +503,45 @@ def test_model_ema_tracks_generator(data_root, tmp_path_factory):
     e_saved = jax.tree.leaves(tree['params_ema'])[0]
     np.testing.assert_array_equal(np.asarray(e_saved),
                                   np.asarray(leaves_e[0]))
+
+
+def test_chained_steps_match_sequential(data_root, tmp_path_factory):
+    """optimize_parameters_chained (K steps, ONE lax.scan dispatch) must
+    produce the same trajectory as K sequential optimize_parameters calls
+    — same losses and same final params (fusion-order tolerance)."""
+    import jax
+
+    batches = [{'lq': np.random.default_rng(i).random(
+                    (1, 16, 16, 3)).astype(np.float32),
+                'gt': np.random.default_rng(100 + i).random(
+                    (1, 64, 64, 3)).astype(np.float32)}
+               for i in range(3)]
+
+    def fresh_model(name):
+        exp = str(tmp_path_factory.mktemp(name))
+        model, _ = _mk_model(_base_opt(data_root, name), exp)
+        return model
+
+    m_seq = fresh_model('chain_seq')
+    seq_logs = []
+    for it, b in enumerate(batches, 1):
+        m_seq.feed_data(b)
+        m_seq.optimize_parameters(it)
+        seq_logs.append(m_seq.get_current_log())
+
+    m_chain = fresh_model('chain_one')
+    m_chain.optimize_parameters_chained(batches)
+    chain_log = m_chain.get_current_log()
+
+    for k, v in chain_log.items():
+        assert np.isfinite(v), f'{k} not finite'
+        np.testing.assert_allclose(v, seq_logs[-1][k], rtol=2e-3, atol=1e-4,
+                                   err_msg=k)
+    leaves_a = jax.tree.leaves(m_seq.state.params_g)
+    leaves_b = jax.tree.leaves(m_chain.state.params_g)
+    for a, b in zip(leaves_a, leaves_b):
+        # scan-vs-unrolled fusion noise gets Adam-amplified on near-zero-v
+        # params (observed: 1/73728 elements at 1.3% rel, |diff| 2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=5e-4)
+    assert int(np.asarray(m_chain.state.step)) == 3

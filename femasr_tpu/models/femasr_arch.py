@@ -224,6 +224,7 @@ class MultiScaleEncoder(nn.Module):
     use_checkpoint: bool = False
     fused_upsample: bool = False
     attn_pack: int = 1
+    attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -245,7 +246,9 @@ class MultiScaleEncoder(nn.Module):
         if self.lq_stage:
             x = SwinLayers(mlp_ratio=self.swin_mlp_ratio,
                            use_checkpoint=self.use_checkpoint,
-                           attn_pack=self.attn_pack, dtype=self.dtype,
+                           attn_pack=self.attn_pack,
+                           attn_pack_shifted=self.attn_pack_shifted,
+                           dtype=self.dtype,
                            name=f'blocks_{idx}')(x)
             outputs.append(x)
             idx += 1
@@ -291,6 +294,9 @@ class FeMaSRNet(nn.Module):
     # any value — cross-window terms are masked to exp -> 0; see
     # ops/swin.py WindowAttention.pack)
     attn_pack: int = 1
+    # False: leave SW-MSA (masked) blocks unpacked — isolates the packed
+    # shift-mask constant cost (NOTES_ROUND2.md attn_pack findings)
+    attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
 
     @property
@@ -323,6 +329,7 @@ class FeMaSRNet(nn.Module):
             norm_type=self.norm_type, act_type=self.act_type,
             lq_stage=self.LQ_stage, use_checkpoint=self.use_checkpoint,
             fused_upsample=self.fused_upsample, attn_pack=self.attn_pack,
+            attn_pack_shifted=self.attn_pack_shifted,
             dtype=self.dtype)
 
         decoders = []

@@ -145,36 +145,66 @@ def train_pipeline(root_path: str, argv=None):
     # async dispatch (FeMaSRModel wraps with data.loader.DevicePrefetcher)
     fetch_loader = model.wrap_loader(train_loader)
 
+    # chain_steps > 1: run K steps per dispatch via lax.scan
+    # (optimize_parameters_chained) — amortizes per-dispatch overhead on
+    # dispatch-bound hosts and removes K-1 host syncs per chain. Per-iter
+    # housekeeping runs once per chain; a frequency "fires" when a chain
+    # crosses any multiple of it (rounded to chain boundaries).
+    chain_steps = max(1, int(opt['train'].get('chain_steps', 1) or 1))
+    pending_chain = []
+
+    def crossed(freq, lo, hi):
+        """True iff a multiple of freq lies in (lo, hi]."""
+        freq = int(freq)
+        return freq > 0 and hi // freq > lo // freq
+
+    profiling = False
+
     epoch = start_epoch
     while current_iter <= total_iters:
         train_sampler.set_epoch(epoch)
         for train_data in fetch_loader:
             data_timer.record()
-            current_iter += 1
+            if chain_steps > 1:
+                pending_chain.append(train_data)
+                if (len(pending_chain) < chain_steps
+                        and current_iter + len(pending_chain) < total_iters):
+                    continue
+            prev_iter = current_iter
+            current_iter += max(len(pending_chain), 1)
             if current_iter > total_iters:
+                pending_chain = []
                 break
 
             # jax.profiler trace window (observability parity, SURVEY.md §5;
             # the reference has only AvgTimer — this captures full XLA traces)
             prof_start = opt['logger'].get('profile_start_iter')
-            if prof_start is not None and current_iter == int(prof_start):
+            if prof_start is not None and prev_iter < int(prof_start) \
+                    <= current_iter:
                 import jax
                 jax.profiler.start_trace(
                     osp.join(opt['path']['log'], 'jax_trace'))
-            model.feed_data(train_data)
-            model.optimize_parameters(current_iter)
-            if prof_start is not None and current_iter == (
+                profiling = True
+            if pending_chain:
+                model.optimize_parameters_chained(pending_chain)
+                pending_chain = []
+            else:
+                model.feed_data(train_data)
+                model.optimize_parameters(current_iter)
+            if profiling and prof_start is not None and current_iter >= (
                     int(prof_start)
                     + int(opt['logger'].get('profile_steps', 5)) - 1):
                 import jax
                 jax.profiler.stop_trace()
                 logger.info('jax profiler trace written to '
                             f"{osp.join(opt['path']['log'], 'jax_trace')}")
+                opt['logger']['profile_start_iter'] = None
+                profiling = False
             iter_timer.record()
-            if current_iter == 1:
+            if prev_iter == 0:
                 msg_logger.reset_start_time()
 
-            if current_iter % opt['logger']['print_freq'] == 0:
+            if crossed(opt['logger']['print_freq'], prev_iter, current_iter):
                 log_vars = {'epoch': epoch, 'iter': current_iter,
                             'lrs': model.get_current_learning_rate(),
                             'time': iter_timer.get_avg_time(),
@@ -182,25 +212,27 @@ def train_pipeline(root_path: str, argv=None):
                 log_vars.update(model.get_current_log())
                 msg_logger(log_vars)
 
-            if (tb_logger is not None and current_iter
-                    % opt['logger'].get('show_tf_imgs_freq', 1e99) == 0):
+            if tb_logger is not None and crossed(
+                    opt['logger'].get('show_tf_imgs_freq', 1e99),
+                    prev_iter, current_iter):
                 visuals = model.get_current_visuals()
                 for k, v in visuals.items():
                     imgs = v.clip(0, 1).astype('float32')
                     tb_logger.add_images(f'samples/{k}', imgs, current_iter,
                                          dataformats='NHWC')
 
-            if current_iter % opt['logger'].get(
-                    'save_checkpoint_freq', 1e99) == 0:
+            if crossed(opt['logger'].get('save_checkpoint_freq', 1e99),
+                       prev_iter, current_iter):
                 logger.info('Saving models and training states.')
                 model.save(epoch, current_iter)
-            if current_iter % opt['logger'].get(
-                    'save_latest_freq', 1e99) == 0:
+            if crossed(opt['logger'].get('save_latest_freq', 1e99),
+                       prev_iter, current_iter):
                 logger.info('Saving latest models and training states.')
                 model.save(epoch, -1)
 
             if (opt.get('val') is not None and val_loader is not None
-                    and current_iter % int(opt['val']['val_freq']) == 0):
+                    and crossed(int(opt['val']['val_freq']),
+                                prev_iter, current_iter)):
                 model.validation(val_loader, current_iter, tb_logger,
                                  opt['val'].get('save_img', False))
 

@@ -25,6 +25,8 @@ def main():
     ap.add_argument('--fused', action='store_true')
     ap.add_argument('--s2d', action='store_true')
     ap.add_argument('--pack', type=int, default=1)
+    ap.add_argument('--no-pack-shifted', action='store_true',
+                    help='leave SW-MSA (masked) blocks unpacked')
     ap.add_argument('--iters', type=int, default=8)
     ap.add_argument('--compile-only', action='store_true')
     args = ap.parse_args()
@@ -41,7 +43,9 @@ def main():
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       fused_upsample=args.fused, s2d_tail=args.s2d,
-                      attn_pack=args.pack, dtype=jnp.bfloat16)
+                      attn_pack=args.pack,
+                      attn_pack_shifted=not args.no_pack_shifted,
+                      dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, args.tile, args.tile, 3), jnp.bfloat16))['params']

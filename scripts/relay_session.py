@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""One-window TPU measurement session: runs the round-3 experiment agenda
+sequentially with per-phase subprocess budgets and a global wall budget.
+
+Agenda (ordered: driver-critical first, wedge-risky last):
+  1. health probe
+  2. bench.py            <- warms the driver's 128/256/512 compile caches
+  3. batch2_probe        <- localize the 3.4x batch-2 per-pixel regression
+  4. attn_pack A/B       <- full-graph pack=2 + swin-segment + non-shifted
+  5. s2d align probe     <- FEMASR_S2D_ALIGN=8 decoder-tail wall-clock
+  6. fused_upsample A/B
+  7. train chain         <- steps/s + MFU via --chain
+  8. int8 conv probe
+  9. pallas vq compile probe (most stall-prone -> LAST; one attempt only)
+
+Run DETACHED (nohup/background), never under the Bash tool's 600 s
+ceiling:  nohup python scripts/relay_session.py > /tmp/relay_session.log &
+
+Wedge discipline (CLAUDE.md): each phase gets TERM then KILL with grace;
+any phase timeout aborts the remaining agenda (a killed in-flight dispatch
+may have wedged the chip — continuing would stack kills and extend the
+wedge). Results land in /tmp/relay_session.log + RESULTS_FILE.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS_FILE = '/tmp/relay_session_results.json'
+
+PY = sys.executable
+
+
+def phase(name, cmd, budget_s, env_extra=None, abort_on_timeout=True):
+    print(f'\n===== {name} (budget {budget_s}s) =====', flush=True)
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)  # phases run on the real chip
+    if env_extra:
+        env.update(env_extra)
+    t0 = time.time()
+    try:
+        p = subprocess.run(cmd, cwd=HERE, env=env, timeout=budget_s,
+                           stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                           text=True)
+        out = p.stdout
+        ok = p.returncode == 0
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b'')
+        if isinstance(out, bytes):
+            out = out.decode(errors='replace')
+        out += f'\n<<TIMEOUT after {budget_s}s>>'
+        ok = False
+    dt = time.time() - t0
+    print(out, flush=True)
+    print(f'----- {name}: {"OK" if ok else "FAILED"} in {dt:.0f}s',
+          flush=True)
+    rec = {'name': name, 'ok': ok, 'seconds': round(dt, 1), 'tail': out[-2000:]}
+    results.append(rec)
+    with open(RESULTS_FILE, 'w') as f:
+        json.dump(results, f, indent=1)
+    if not ok and abort_on_timeout and out.endswith('>>'):
+        print(f'!! {name} timed out — chip may be wedged; aborting agenda '
+              '(wedge discipline: no kill chains)', flush=True)
+        sys.exit(2)
+    return ok
+
+
+results = []
+
+
+def main():
+    t_start = time.time()
+    global_budget = float(os.environ.get('RELAY_SESSION_BUDGET_S', 5400))
+
+    def remaining():
+        return global_budget - (time.time() - t_start)
+
+    # 1. health (abort the whole session if the relay is down)
+    ok = phase('health', [PY, '-c',
+                          'import jax, jax.numpy as jnp; '
+                          'print("RELAY_OK", float(jnp.arange(4.).sum()))'],
+               90)
+    if not ok:
+        print('relay down; session aborted', flush=True)
+        return
+
+    # 2. driver bench — also leaves the 128/256/512 ladder caches warm
+    phase('bench', [PY, 'bench.py'], 600)
+
+    # 3. batch-2 regression localization
+    if remaining() > 900:
+        phase('batch2_full_enc', [PY, 'scripts/batch2_probe.py', '512',
+                                  '--segments', 'full,encoder'], 560)
+    if remaining() > 900:
+        phase('batch2_swin_dec_vq', [PY, 'scripts/batch2_probe.py', '512',
+                                     '--segments', 'swin,decoder,vq'], 560)
+
+    # 4. attn_pack: full-graph pack=2, swin segment pack sweep, non-shifted
+    if remaining() > 900:
+        phase('pack2_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                             '--pack', '2'], 560)
+    if remaining() > 900:
+        phase('pack_swin_seg', [PY, 'scripts/segment_probe.py', '512',
+                                '--swin-only', '--pack', '2'], 400)
+    if remaining() > 900:
+        phase('pack2_noshift_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                                     '--pack', '2', '--no-pack-shifted'],
+              560)
+
+    # 5. s2d decoder tail with aligned intermediates
+    if remaining() > 900:
+        phase('s2d_align8', [PY, 'scripts/perf_probe.py', '512', '1',
+                             '--s2d'], 560,
+              env_extra={'FEMASR_S2D_ALIGN': '8'})
+    if remaining() > 900:
+        phase('s2d_align1', [PY, 'scripts/perf_probe.py', '512', '1',
+                             '--s2d'], 560)
+
+    # 6. fused upsample (encoder up blocks + decoder)
+    if remaining() > 900:
+        phase('fused_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                             '--fused'], 560)
+
+    # 7. training-step truth: chained dispatch
+    if remaining() > 1200:
+        phase('train_chain8', [PY, 'scripts/train_step_probe.py', '--gt',
+                               '256', '--batch', '8', '--dtype', 'bfloat16',
+                               '--chain', '8', '--iters', '16'], 900)
+
+    # 8. int8 conv probe (go/no-go for an int8 decoder tail)
+    if remaining() > 700:
+        phase('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560)
+
+    # 9. pallas vq native compile probe — LAST (stalls the remote compile
+    # helper on this relay; one bounded attempt, then stop uncondition-
+    # ally so a stall cannot poison anything after it)
+    if remaining() > 400 and os.environ.get('RELAY_SESSION_PALLAS', '1') == '1':
+        phase('pallas_vq_compile',
+              [PY, '-c', (
+                  'import jax, jax.numpy as jnp;'
+                  'from femasr_tpu.ops.pallas.vq import vq_argmin;'
+                  'f = jax.jit(vq_argmin);'
+                  'c = f.lower(jnp.zeros((1024, 512), jnp.float32),'
+                  '            jnp.zeros((1024, 512), jnp.float32)).compile();'
+                  'print("PALLAS_COMPILE_OK");'
+                  'import numpy as np;'
+                  'z = jnp.asarray(np.random.default_rng(0).normal('
+                  '    size=(1024, 512)), jnp.float32);'
+                  'cb = jnp.asarray(np.random.default_rng(1).normal('
+                  '    size=(1024, 512)), jnp.float32);'
+                  'idx = np.asarray(f(z, cb));'
+                  'ref = np.asarray(jnp.argmin('
+                  '  jnp.sum((z[:, None, :] - cb[None]) ** 2, -1), 1));'
+                  'print("PALLAS_EXEC_OK match:", (idx == ref).all())')],
+              300, abort_on_timeout=True)
+
+    print(f'\nsession done in {time.time() - t_start:.0f}s; results in '
+          f'{RESULTS_FILE}', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -75,9 +75,12 @@ def _mscn(img: np.ndarray,
     else:
         w = np.asarray(window, np.float64)
         w = w / w.sum()
-        mu = cv2.filter2D(img, -1, w, borderType=cv2.BORDER_REFLECT_101)
+        # basicsr's NIQE convolves with scipy mode='nearest' (edge
+        # replicate) — match it so border blocks agree and scores are
+        # literature-comparable
+        mu = cv2.filter2D(img, -1, w, borderType=cv2.BORDER_REPLICATE)
         ex2 = cv2.filter2D(img * img, -1, w,
-                           borderType=cv2.BORDER_REFLECT_101)
+                           borderType=cv2.BORDER_REPLICATE)
     sigma = np.sqrt(np.abs(ex2 - mu * mu))
     return (img - mu) / (sigma + 1.0)
 

@@ -98,6 +98,10 @@ class ShardStoreWriter:
 
     def add(self, key: str, img: np.ndarray) -> None:
         assert img.dtype == np.uint8 and img.ndim == 3, 'HWC uint8 required'
+        # mirror the C++ reader's corrupt-header bounds (shardstore.cpp
+        # fmrs_open): a shard the writer produces must always be readable
+        assert (img.shape[0] <= 1 << 21 and img.shape[1] <= 1 << 21
+                and img.shape[2] <= 16), f'image too large: {img.shape}'
         kb = key.encode('utf-8')
         if len(kb) > 63:
             raise ValueError(

@@ -495,8 +495,6 @@ class FeMaSRModel(BaseModel):
                 aux['gt_rec'] = gt_rec
             return new_state, loss_dict, aux
 
-        self._train_step_fn = train_step
-
         def train_chain(state, lq_stack, gt_stack, params_hq):
             """K G+D steps inside ONE dispatch (lax.scan, donated state).
 
@@ -566,6 +564,11 @@ class FeMaSRModel(BaseModel):
         self.state, losses = self._train_chain(
             self.state, lq_stack, gt_stack, self.params_hq)
         self._device_log = {key: v[-1] for key, v in losses.items()}
+        # keep the last inputs for get_current_visuals (per-step outputs
+        # are intentionally not retained by the scan — recomputed there)
+        self.lq = batch_list[-1].get('lq')
+        self.gt = batch_list[-1].get('gt')
+        self.output = None
 
     def optimize_parameters(self, current_iter: int) -> None:
         self.state, loss_dict, aux = self._train_step(
@@ -817,14 +820,24 @@ class FeMaSRModel(BaseModel):
     def get_current_visuals(self) -> Dict[str, np.ndarray]:
         vis = 16
         out = OrderedDict()
-        if self.lq is not None:  # absent under on-device degradation
+        if getattr(self, 'output', None) is None:
+            # chained mode (optimize_parameters_chained) does not retain
+            # per-step outputs — produce the visual batch on demand from
+            # the last chained inputs
+            lq, gt = getattr(self, 'lq', None), getattr(self, 'gt', None)
+            src = lq if (self.LQ_stage and lq is not None) else gt
+            if src is None:
+                return out
+            sr = self._get_inferencer()
+            self.output = np.asarray(sr.run_padded(jnp.asarray(src)[:16]))
+        if getattr(self, 'lq', None) is not None:  # absent on-device degr.
             out['lq'] = np.asarray(self.lq)[:vis]
         out['result'] = np.asarray(self.output)[:vis]
         if not self.LQ_stage:
             out['codebook'] = self.vis_single_code()
         if hasattr(self, 'gt_rec'):
             out['gt_rec'] = np.asarray(self.gt_rec)[:vis]
-        if self.gt is not None:
+        if getattr(self, 'gt', None) is not None:
             out['gt'] = np.asarray(self.gt)[:vis]
         return out
 

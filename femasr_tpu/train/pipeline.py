@@ -200,7 +200,7 @@ def train_pipeline(root_path: str, argv=None):
                             f"{osp.join(opt['path']['log'], 'jax_trace')}")
                 opt['logger']['profile_start_iter'] = None
                 profiling = False
-            iter_timer.record()
+            iter_timer.record(steps=current_iter - prev_iter)
             if prev_iter == 0:
                 msg_logger.reset_start_time()
 

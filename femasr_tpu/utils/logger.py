@@ -30,11 +30,15 @@ class AvgTimer:
     def start(self) -> None:
         self.start_time = self.tic = time.time()
 
-    def record(self) -> None:
-        self.count += 1
+    def record(self, steps: int = 1) -> None:
+        """Record one measured interval covering `steps` logical
+        iterations (steps > 1: a chained multi-step dispatch — the
+        interval is attributed per-step so get_avg_time() stays a
+        per-iteration number)."""
+        self.count += steps
         self.toc = time.time()
-        self.current_time = self.toc - self.tic
-        self.total_time += self.current_time
+        self.current_time = (self.toc - self.tic) / steps
+        self.total_time += self.toc - self.tic
         self.avg_time = self.total_time / self.count
         if self.count > self.window:
             self.count = 0

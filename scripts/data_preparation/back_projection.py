@@ -83,8 +83,17 @@ def backprojection(im_h: np.ndarray, im_l: np.ndarray,
 
 def reverse_filter(im_h: np.ndarray, im_l: np.ndarray, scale: int = 4,
                    max_iter: int = 20) -> np.ndarray:
-    """Iterative reverse filtering (main_reverse_filter.m)."""
+    """Iterative reverse filtering (main_reverse_filter.m).
+
+    `scale` sanity-checks that the SR/LR pair actually matches (the
+    MATLAB driver hardcodes imresize(im_LR, 4) and silently produces
+    garbage on mismatched pairs).
+    """
     row_h, col_h, _ = im_h.shape
+    if (row_h, col_h) != (im_l.shape[0] * scale, im_l.shape[1] * scale):
+        raise ValueError(
+            f'SR {im_h.shape[:2]} is not {scale}x the LR {im_l.shape[:2]}; '
+            'pass the matching --scale or fix the input pairing')
     im_h = im_h.astype(np.float64).copy()
     j = _resize_to(im_l.astype(np.float64), row_h, col_h)
     for _ in range(max_iter):

@@ -41,17 +41,23 @@ def phase(name, cmd, budget_s, env_extra=None, abort_on_timeout=True):
     if env_extra:
         env.update(env_extra)
     t0 = time.time()
+    # TERM first with a grace window, KILL only as last resort: a
+    # SIGKILLed in-flight relay dispatch wedges the chip (CLAUDE.md);
+    # SIGTERM lets the JAX client unwind. subprocess.run(timeout=...)
+    # would SIGKILL immediately — hence Popen.
+    p = subprocess.Popen(cmd, cwd=HERE, env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
     try:
-        p = subprocess.run(cmd, cwd=HERE, env=env, timeout=budget_s,
-                           stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                           text=True)
-        out = p.stdout
+        out = p.communicate(timeout=budget_s)[0]
         ok = p.returncode == 0
-    except subprocess.TimeoutExpired as e:
-        out = (e.stdout or b'')
-        if isinstance(out, bytes):
-            out = out.decode(errors='replace')
-        out += f'\n<<TIMEOUT after {budget_s}s>>'
+    except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            out = p.communicate(timeout=30)[0]
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = p.communicate()[0]
+        out = (out or '') + f'\n<<TIMEOUT after {budget_s}s>>'
         ok = False
     dt = time.time() - t0
     print(out, flush=True)

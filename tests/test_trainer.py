@@ -545,3 +545,9 @@ def test_chained_steps_match_sequential(data_root, tmp_path_factory):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
                                    atol=5e-4)
     assert int(np.asarray(m_chain.state.step)) == 3
+
+    # visuals must work in chained mode even though per-step outputs are
+    # not retained by the scan (recomputed on demand)
+    vis = m_chain.get_current_visuals()
+    assert 'result' in vis and np.all(np.isfinite(vis['result']))
+    assert vis['result'].shape[1:] == (64, 64, 3)

@@ -24,9 +24,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.layers import (ActLayer, CombineQuantBlock, GroupNormS2D,
-                          ResBlock, UpConv3, conv2d, conv3_s2d,
-                          pixel_shuffle_phase_major, upconv3_s2d)
+from ..ops.layers import (ActLayer, CombineQuantBlock, Conv3Int8,
+                          GroupNormS2D, NormLayer, ResBlock, UpConv3,
+                          conv2d, conv3_s2d, pixel_shuffle_phase_major,
+                          upconv3_s2d)
 from ..ops.quantize import VectorQuantizer
 from ..ops.swin import SwinLayers
 from ..utils.registry import ARCH_REGISTRY
@@ -100,6 +101,48 @@ class DecoderBlock(nn.Module):
                      self.dtype, name='res1')(x, train)
         x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
                      self.dtype, name='res2')(x, train)
+        return x
+
+
+class ResBlockInt8(nn.Module):
+    """ResBlock with w8a8 int8 convs (norm/act stay in the float dtype).
+
+    Param tree identical to ResBlock — checkpoint-interchangeable;
+    serving-only (v5e int8 MXU path, 2x bf16 peak on the C=64 tail).
+    """
+    channel: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channel
+        res = NormLayer(c, self.norm_type, self.dtype, name='norm1')(x, train)
+        res = ActLayer(c, self.act_type, self.dtype, name='act1')(res)
+        res = Conv3Int8(c, dtype=self.dtype, name='conv1')(res)
+        res = NormLayer(c, self.norm_type, self.dtype, name='norm2')(res,
+                                                                     train)
+        res = ActLayer(c, self.act_type, self.dtype, name='act2')(res)
+        res = Conv3Int8(c, dtype=self.dtype, name='conv2')(res)
+        return res + x
+
+
+class DecoderBlockInt8(nn.Module):
+    """DecoderBlock with all three convs in w8a8 int8; param tree identical
+    to DecoderBlock (serving-only, opt-in via FeMaSRNet(int8_tail=True))."""
+    out_ch: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = UpConv3(self.out_ch, int8=True, dtype=self.dtype, name='conv')(x)
+        x = ResBlockInt8(self.out_ch, self.norm_type, self.act_type,
+                         self.dtype, name='res1')(x, train)
+        x = ResBlockInt8(self.out_ch, self.norm_type, self.act_type,
+                         self.dtype, name='res2')(x, train)
         return x
 
 
@@ -290,6 +333,10 @@ class FeMaSRNet(nn.Module):
     # evaluate the last decoder level + out_conv in the 2x2 space-to-depth
     # domain (exact math, ~1.5x faster C=64 convs on the MXU); requires gn
     s2d_tail: bool = False
+    # serving-only: last decoder level + out_conv in w8a8 int8 (v5e int8
+    # MXU = 2x bf16 peak); dynamic per-tensor activation scales, per-
+    # channel weight scales, checkpoint-free (ops/layers.py conv3_w8a8)
+    int8_tail: bool = False
     # window-packing factor for the swin attention einsums (exact math for
     # any value — cross-window terms are masked to exp -> 0; see
     # ops/swin.py WindowAttention.pack)
@@ -332,6 +379,8 @@ class FeMaSRNet(nn.Module):
             attn_pack_shifted=self.attn_pack_shifted,
             dtype=self.dtype)
 
+        assert not (self.s2d_tail and self.int8_tail), (
+            's2d_tail and int8_tail are mutually exclusive')
         decoders = []
         out_ch = None
         for i in range(self.max_depth):
@@ -339,6 +388,10 @@ class FeMaSRNet(nn.Module):
             out_ch = CHANNEL_QUERY_DICT[res * 2]
             if self.s2d_tail and i == self.max_depth - 1:
                 decoders.append(DecoderBlockS2D(
+                    out_ch, self.norm_type, self.act_type, self.dtype,
+                    name=f'decoder_group_{i}'))
+            elif self.int8_tail and i == self.max_depth - 1:
+                decoders.append(DecoderBlockInt8(
                     out_ch, self.norm_type, self.act_type, self.dtype,
                     name=f'decoder_group_{i}'))
             else:
@@ -349,6 +402,8 @@ class FeMaSRNet(nn.Module):
         self.decoder_group = decoders
         if self.s2d_tail:
             self.out_conv = Conv3S2D(3, dtype=self.dtype, name='out_conv')
+        elif self.int8_tail:
+            self.out_conv = Conv3Int8(3, dtype=self.dtype, name='out_conv')
         else:
             self.out_conv = conv2d(3, 3, 1, 1, dtype=self.dtype,
                                    name='out_conv')

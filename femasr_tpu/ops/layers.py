@@ -360,6 +360,46 @@ def conv3_s2d(x_s2d: jax.Array, kernel: jax.Array,
     return out
 
 
+# ---------------------------------------------------------------------------
+# int8 (w8a8) serving convs for the decoder tail
+#
+# The C=64 HR convs sit at XLA's ~50-60 TF/s bf16 shape ceiling
+# (NOTES_ROUND2.md); the v5e MXU's int8 path peaks at 2x bf16. These
+# helpers quantize weights per-output-channel (symmetric, static given
+# params) and activations per-tensor (symmetric, dynamic — one extra
+# max-reduction pass), accumulate in int32 on the MXU and dequantize into
+# the caller's dtype. Serving-only: no gradients, opt-in via
+# FeMaSRNet(int8_tail=True).
+# ---------------------------------------------------------------------------
+
+def conv3_w8a8(x: jax.Array, kernel: jax.Array,
+               bias: Optional[jax.Array] = None) -> jax.Array:
+    """3x3 SAME conv computed in int8 (w8a8, int32 accumulation).
+
+    x: (B, H, W, I); kernel: (3, 3, I, O) float (the SAME parameter as
+    the plain conv path — quantization happens on the fly, so int8 mode
+    is checkpoint-free). Returns (B, H, W, O) in x.dtype.
+    """
+    kf = kernel.astype(jnp.float32)
+    s_w = jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0        # (O,)
+    s_w = jnp.maximum(s_w, 1e-12)
+    k_q = jnp.round(kf / s_w).astype(jnp.int8)
+
+    xf = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf)) / 127.0                        # scalar
+    s_x = jnp.maximum(s_x, 1e-12)
+    x_q = jnp.round(xf / s_x).astype(jnp.int8)
+
+    acc = jax.lax.conv_general_dilated(
+        x_q, k_q, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s_x * s_w)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def pixel_shuffle_phase_major(x: jax.Array) -> jax.Array:
     """(B, H, W, 4C) phase-major S2D -> (B, 2H, 2W, C)."""
     b, h, w, c4 = x.shape
@@ -454,6 +494,7 @@ class UpConv3(nn.Module):
     """
     features: int
     fused: bool = True
+    int8: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -463,6 +504,9 @@ class UpConv3(nn.Module):
                             (3, 3, in_ch, self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        if self.int8:
+            return conv3_w8a8(upsample_nearest(x.astype(self.dtype), 2),
+                              kernel, bias)
         if self.fused:
             return fused_upsample2x_conv3(x.astype(self.dtype),
                                           kernel.astype(self.dtype), bias)
@@ -471,6 +515,23 @@ class UpConv3(nn.Module):
             y, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         return y + bias.astype(self.dtype)
+
+
+class Conv3Int8(nn.Module):
+    """3x3 SAME conv in w8a8 int8; params match conv2d(features, 3, 1, 1)
+    (kernel (3, 3, I, O) + bias) so checkpoints are interchangeable with
+    the float path. Serving-only."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return conv3_w8a8(x.astype(self.dtype), kernel, bias)
 
 
 class CombineQuantBlock(nn.Module):

@@ -54,6 +54,12 @@ def main():
     parser.add_argument('--tp', type=int, default=1,
                         help='tensor-parallel axis size (with --dp; splits '
                              'swin qkv/FFN + codebook over the mesh)')
+    parser.add_argument('--int8_tail', action='store_true',
+                        help='run the last decoder level + out_conv in w8a8 '
+                             'int8 (2x MXU peak on v5e; checkpoint-free '
+                             'dynamic quantization)')
+    parser.add_argument('--attn_pack', type=int, default=1,
+                        help='window-packing factor for the swin attention')
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -74,7 +80,8 @@ def main():
         mesh = create_mesh(data=args.dp, model=args.tp)
     sr = load_inferencer(weight_path, scale_factor=args.out_scale,
                          dtype=dtype, max_tile_batch=args.tile_batch,
-                         mesh=mesh, tensor_parallel=args.tp > 1)
+                         mesh=mesh, tensor_parallel=args.tp > 1,
+                         int8_tail=args.int8_tail, attn_pack=args.attn_pack)
 
     os.makedirs(args.output, exist_ok=True)
     if os.path.isfile(args.input):

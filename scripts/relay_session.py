@@ -136,9 +136,12 @@ def main():
                                '256', '--batch', '8', '--dtype', 'bfloat16',
                                '--chain', '8', '--iters', '16'], 900)
 
-    # 8. int8 conv probe (go/no-go for an int8 decoder tail)
+    # 8. int8: raw conv probe + the actual int8_tail model A/B
     if remaining() > 700:
         phase('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560)
+    if remaining() > 700:
+        phase('int8_tail_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                                 '--int8'], 560)
 
     # 9. pallas vq native compile probe — LAST (stalls the remote compile
     # helper on this relay; one bounded attempt, then stop uncondition-

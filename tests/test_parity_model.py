@@ -197,6 +197,28 @@ def test_s2d_tail_model_equivalence():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_int8_tail_model_quality():
+    """FeMaSRNet(int8_tail=True) runs the SAME params through w8a8 convs
+    (checkpoint-free quantization) and must stay close to the float path:
+    codebook indices identical (the tail is after the VQ), output within
+    int8 quantization noise."""
+    net = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
+                    scale_factor=4, norm_type='gn', act_type='silu')
+    xi = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 3))
+    variables = net.init(jax.random.PRNGKey(3), xi)
+    ref, _, _, idx_ref = net.apply(variables, xi)
+    net_i8 = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
+                       scale_factor=4, norm_type='gn', act_type='silu',
+                       int8_tail=True)
+    out, _, _, idx = net_i8.apply(variables, xi)
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(idx[0]), np.asarray(idx_ref[0]))
+    err = np.asarray(out) - np.asarray(ref)
+    span = float(np.asarray(ref).max() - np.asarray(ref).min()) or 1.0
+    psnr = 10 * np.log10(span ** 2 / max(float(np.mean(err ** 2)), 1e-12))
+    assert psnr > 30.0, f'int8 tail too lossy: {psnr:.1f} dB vs float path'
+
+
 def test_attn_pack_model_equivalence():
     """FeMaSRNet(attn_pack=4) == default on the same params (the packing
     plumbs MultiScaleEncoder -> SwinLayers -> WindowAttention)."""

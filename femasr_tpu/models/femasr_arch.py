@@ -337,6 +337,9 @@ class FeMaSRNet(nn.Module):
     # MXU = 2x bf16 peak); dynamic per-tensor activation scales, per-
     # channel weight scales, checkpoint-free (ops/layers.py conv3_w8a8)
     int8_tail: bool = False
+    # >1 with int8_tail: quantize the last N decoder levels, not just the
+    # final one (level C=128 also sits below bf16 MXU peak)
+    int8_levels: int = 1
     # window-packing factor for the swin attention einsums (exact math for
     # any value — cross-window terms are masked to exp -> 0; see
     # ops/swin.py WindowAttention.pack)
@@ -390,7 +393,7 @@ class FeMaSRNet(nn.Module):
                 decoders.append(DecoderBlockS2D(
                     out_ch, self.norm_type, self.act_type, self.dtype,
                     name=f'decoder_group_{i}'))
-            elif self.int8_tail and i == self.max_depth - 1:
+            elif self.int8_tail and i >= self.max_depth - self.int8_levels:
                 decoders.append(DecoderBlockInt8(
                     out_ch, self.norm_type, self.act_type, self.dtype,
                     name=f'decoder_group_{i}'))

@@ -26,6 +26,8 @@ def main():
     ap.add_argument('--s2d', action='store_true')
     ap.add_argument('--int8', action='store_true',
                     help='w8a8 int8 decoder tail')
+    ap.add_argument('--int8-levels', type=int, default=1,
+                    help='last N decoder levels quantized (with --int8)')
     ap.add_argument('--pack', type=int, default=1)
     ap.add_argument('--no-pack-shifted', action='store_true',
                     help='leave SW-MSA (masked) blocks unpacked')
@@ -45,7 +47,8 @@ def main():
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       fused_upsample=args.fused, s2d_tail=args.s2d,
-                      int8_tail=args.int8, attn_pack=args.pack,
+                      int8_tail=args.int8, int8_levels=args.int8_levels,
+                      attn_pack=args.pack,
                       attn_pack_shifted=not args.no_pack_shifted,
                       dtype=jnp.bfloat16)
     params = jax.jit(model.init)(

@@ -142,6 +142,9 @@ def main():
     if remaining() > 700:
         phase('int8_tail_full', [PY, 'scripts/perf_probe.py', '512', '1',
                                  '--int8'], 560)
+    if remaining() > 700:
+        phase('int8_all_levels', [PY, 'scripts/perf_probe.py', '512', '1',
+                                  '--int8', '--int8-levels', '3'], 560)
 
     # 9. pallas vq native compile probe — LAST (stalls the remote compile
     # helper on this relay; one bounded attempt, then stop uncondition-

@@ -99,9 +99,22 @@ def main():
         except subprocess.TimeoutExpired as e:
             print(f'# tile={tile} attempt timed out after {budget:.0f}s',
                   flush=True)
-            if e.stdout:
-                sys.stdout.write(e.stdout if isinstance(e.stdout, str)
-                                 else e.stdout.decode())
+            partial = e.stdout or ''
+            if isinstance(partial, bytes):
+                partial = partial.decode(errors='replace')
+            if partial:
+                sys.stdout.write(partial)
+            # the child emits a JSON line after EVERY completed batch
+            # measurement, so a stalled later compile (e.g. batch 2 on a
+            # degraded remote compile helper) cannot lose the result
+            jline = next((ln for ln in reversed(partial.splitlines())
+                          if ln.startswith('{')), None)
+            if jline:
+                try:
+                    json.loads(jline)
+                    best = jline
+                except ValueError:
+                    pass
             continue
         for line in r.stdout.splitlines():
             if line.startswith('#'):
@@ -155,6 +168,21 @@ def _child(tile):
         out, _, _, _ = model.apply({'params': params}, x)
         return jnp.sum(out.astype(jnp.float32))
 
+    baseline_mps = H100_PYTORCH_BASELINE_MPS
+
+    def emit(best_mps, best_batch):
+        result = {
+            'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
+            'value': round(best_mps, 3),
+            'unit': (f'MP/s (input pixels), bf16, batch {best_batch}, vs '
+                     'bottom-up 1.5 MP/s H100-PyTorch-eager baseline'
+                     + ('' if tile == 512 else
+                        f', FALLBACK {tile}px tiles (512px failed on this '
+                        'relay)')),
+            'vs_baseline': round(best_mps / baseline_mps, 3),
+        }
+        print(json.dumps(result), flush=True)
+
     flops_per_tile = None
     best_mps, best_batch = 0.0, 0
     for batch in (1, 2):
@@ -187,24 +215,16 @@ def _child(tile):
               f'pipelined -> {mps:.2f} MP/s', flush=True)
         if mps > best_mps:
             best_mps, best_batch = mps, batch
+            # emit NOW: if the next batch's compile stalls and the parent
+            # kills this child, the partial stdout still carries a valid
+            # (conservative) JSON line
+            emit(best_mps, best_batch)
 
-    baseline_mps = H100_PYTORCH_BASELINE_MPS
     if flops_per_tile:
         print(f'# {flops_per_tile / 1e12:.2f} TFLOP / {tile}px tile; '
               f'H100-PyTorch baseline {baseline_mps:.2f} MP/s '
               '(NOTES_ROUND2.md)', flush=True)
-
-    result = {
-        'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
-        'value': round(best_mps, 3),
-        'unit': (f'MP/s (input pixels), bf16, batch {best_batch}, vs '
-                 'bottom-up 1.5 MP/s H100-PyTorch-eager baseline'
-                 + ('' if tile == 512 else
-                    f', FALLBACK {tile}px tiles (512px failed on this '
-                    'relay)')),
-        'vs_baseline': round(best_mps / baseline_mps, 3),
-    }
-    print(json.dumps(result), flush=True)
+    emit(best_mps, best_batch)
 
 
 if __name__ == '__main__':

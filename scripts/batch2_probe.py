@@ -56,13 +56,17 @@ def main():
         return [jax.random.uniform(jax.random.PRNGKey(50 + i), shape,
                                    jnp.bfloat16) for i in range(n)]
 
-    def compare(name, make_fn, shape1):
-        """Times make_fn at batch 1 and 2; prints the per-pixel ratio."""
+    def compare(name, fn, fn_params, shape1):
+        """Times jit fn(params, x) at batch 1 and 2; per-pixel ratio.
+
+        Params are passed as ARGUMENTS (not closure constants) so the
+        program matches bench.py's cache entries and compiles lean.
+        """
         times = {}
         for b in (1, 2):
             shape = (b,) + shape1[1:]
-            fn = make_fn()
-            dt = bench(fn, inputs(shape, args.iters))
+            xs = inputs(shape, args.iters)
+            dt = bench(lambda x: fn(fn_params, x), xs)
             times[b] = dt
             print(f'  {name} b{b}: {dt * 1e3:7.1f} ms', flush=True)
         ratio = times[2] / (2 * times[1])
@@ -77,23 +81,19 @@ def main():
                                                 jnp.bfloat16))['params']
 
     if 'full' in segs:
-        def mk_full():
-            @jax.jit
-            def f(x):
-                out, _, _, _ = model.apply({'params': params}, x)
-                return jnp.sum(out.astype(jnp.float32))
-            return f
-        compare('full', mk_full, (1, t, t, 3))
+        @jax.jit
+        def forward(params, x):   # identical program to bench.py's child
+            out, _, _, _ = model.apply({'params': params}, x)
+            return jnp.sum(out.astype(jnp.float32))
+        compare('full', forward, params, (1, t, t, 3))
 
     if 'encoder' in segs:
-        def mk_enc():
-            @jax.jit
-            def f(x):
-                outs = model.apply({'params': params}, x,
-                                   method=lambda m, x: m.multiscale_encoder(x))
-                return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
-            return f
-        compare('encoder', mk_enc, (1, t, t, 3))
+        @jax.jit
+        def enc(params, x):
+            outs = model.apply({'params': params}, x,
+                               method=lambda m, x: m.multiscale_encoder(x))
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+        compare('encoder', enc, params, (1, t, t, 3))
 
     if 'swin' in segs:
         sw = SwinLayers(dtype=jnp.bfloat16)
@@ -101,13 +101,11 @@ def main():
         sparams = jax.jit(sw.init)(key, jnp.zeros(sshape,
                                                   jnp.bfloat16))['params']
 
-        def mk_swin():
-            @jax.jit
-            def f(x):
-                return jnp.sum(sw.apply({'params': sparams},
-                                        x).astype(jnp.float32))
-            return f
-        compare('swin', mk_swin, sshape)
+        @jax.jit
+        def swin(params, x):
+            return jnp.sum(sw.apply({'params': params},
+                                    x).astype(jnp.float32))
+        compare('swin', swin, sparams, sshape)
 
     if 'decoder' in segs or 'declevels' in segs:
         blocks = [DecoderBlock(256, 'gn', 'silu', False, jnp.bfloat16),
@@ -121,24 +119,20 @@ def main():
         ocparams = jax.jit(oc.init)(key, jnp.zeros((1, 4 * t, 4 * t, 64),
                                                    jnp.bfloat16))['params']
         if 'decoder' in segs:
-            def mk_dec():
-                @jax.jit
-                def f(x):
-                    for b, p in zip(blocks, bparams):
-                        x = b.apply({'params': p}, x)
-                    x = oc.apply({'params': ocparams}, x)
-                    return jnp.sum(x.astype(jnp.float32))
-                return f
-            compare('decoder', mk_dec, shapes[0])
+            @jax.jit
+            def dec(ps, x):
+                for b, p in zip(blocks, ps[:-1]):
+                    x = b.apply({'params': p}, x)
+                x = oc.apply({'params': ps[-1]}, x)
+                return jnp.sum(x.astype(jnp.float32))
+            compare('decoder', dec, tuple(bparams) + (ocparams,), shapes[0])
         if 'declevels' in segs:
             for i, (blk, p, s) in enumerate(zip(blocks, bparams, shapes)):
-                def mk_one(blk=blk, p=p):
-                    @jax.jit
-                    def f(x):
-                        return jnp.sum(blk.apply({'params': p},
-                                                 x).astype(jnp.float32))
-                    return f
-                compare(f'dec_level{i}', mk_one, s)
+                @jax.jit
+                def one(p, x, blk=blk):
+                    return jnp.sum(blk.apply({'params': p},
+                                             x).astype(jnp.float32))
+                compare(f'dec_level{i}', one, p, s)
 
     if 'vq' in segs:
         vq = VectorQuantizer(n_e=1024, e_dim=512, lq_stage=True,
@@ -148,13 +142,11 @@ def main():
         vparams = jax.jit(vq.init)(key, jnp.zeros(vshape,
                                                   jnp.bfloat16))['params']
 
-        def mk_vq():
-            @jax.jit
-            def f(x):
-                zq, _, _ = vq.apply({'params': vparams}, x)
-                return jnp.sum(zq.astype(jnp.float32))
-            return f
-        compare('vq', mk_vq, vshape)
+        @jax.jit
+        def quant(p, x):
+            zq, _, _ = vq.apply({'params': p}, x)
+            return jnp.sum(zq.astype(jnp.float32))
+        compare('vq', quant, vparams, vshape)
 
 
 if __name__ == '__main__':

@@ -86,7 +86,8 @@ def phase(name, cmd, budget_s, env_extra=None, abort_on_timeout=True):
                   'chip likely wedged; aborting agenda', flush=True)
             sys.exit(2)
         print(f'!! {name} timed out but chip is healthy (slow compile) — '
-              'continuing', flush=True)
+              'cooling down 120s before continuing', flush=True)
+        time.sleep(120)
     return ok
 
 

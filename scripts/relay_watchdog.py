@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Persistent TPU measurement watchdog for a FLAPPING relay.
+
+The relay comes up for minutes at a time between outages (round-3 log:
+~10 h down, 20 min up, 25 min down, <1 min up...). A one-shot agenda
+wastes windows; this watchdog loops forever (bounded by
+RELAY_WATCHDOG_BUDGET_S, default 6 h):
+
+  probe (varied value, 90 s) -> on success run the NEXT pending phase
+  from the priority queue -> re-probe -> continue while healthy;
+  on failure sleep RELAY_WATCHDOG_SLEEP_S (default 600) and retry.
+
+Completed phases persist in STATE_FILE so progress accumulates across
+watchdog restarts. Phase list is priority-ordered: the driver bench
+first (warm caches -> real BENCH number), then the round-3 experiments.
+
+Run DETACHED:
+  nohup python scripts/relay_watchdog.py > /tmp/relay_watchdog.log 2>&1 &
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE_FILE = '/tmp/relay_watchdog_state.json'
+PY = sys.executable
+
+# (name, cmd, budget_s, env_extra, repeatable)
+AGENDA = [
+    ('bench', [PY, 'bench.py'], 600, None, False),
+    ('batch2_full_enc', [PY, 'scripts/batch2_probe.py', '512',
+                         '--segments', 'full,encoder'], 600, None, False),
+    ('pack2_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                    '--pack', '2'], 600, None, False),
+    ('int8_tail_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                        '--int8'], 600, None, False),
+    ('s2d_align8', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
+     600, {'FEMASR_S2D_ALIGN': '8'}, False),
+    ('batch2_swin_dec_vq', [PY, 'scripts/batch2_probe.py', '512',
+                            '--segments', 'swin,decoder,vq'], 600, None,
+     False),
+    ('int8_all_levels', [PY, 'scripts/perf_probe.py', '512', '1',
+                         '--int8', '--int8-levels', '3'], 600, None, False),
+    ('train_chain8', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                      '--batch', '8', '--dtype', 'bfloat16', '--chain', '8',
+                      '--iters', '16'], 900, None, False),
+    ('pack_swin_seg', [PY, 'scripts/segment_probe.py', '512', '--swin-only',
+                       '--pack', '2'], 400, None, False),
+    ('pack2_noshift_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                            '--pack', '2', '--no-pack-shifted'], 600, None,
+     False),
+    ('s2d_align1', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
+     600, None, False),
+    ('fused_full', [PY, 'scripts/perf_probe.py', '512', '1', '--fused'],
+     600, None, False),
+    ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
+    ('train_chain1', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                      '--batch', '8', '--dtype', 'bfloat16',
+                      '--iters', '6'], 600, None, False),
+    # bench_warm repeats until the round ends so the LAST completed run
+    # always left warm caches + a fresh honest number in the log
+    ('bench_warm', [PY, 'bench.py'], 600, None, True),
+]
+
+PALLAS_PHASE = ('pallas_vq_compile', [PY, '-c', (
+    'import jax, jax.numpy as jnp;'
+    'from femasr_tpu.ops.pallas.vq import vq_argmin;'
+    'f = jax.jit(vq_argmin);'
+    'c = f.lower(jnp.zeros((1024, 512), jnp.float32),'
+    '            jnp.zeros((1024, 512), jnp.float32)).compile();'
+    'print("PALLAS_COMPILE_OK");'
+    'import numpy as np;'
+    'z = jnp.asarray(np.random.default_rng(0).normal('
+    '    size=(1024, 512)), jnp.float32);'
+    'cb = jnp.asarray(np.random.default_rng(1).normal('
+    '    size=(1024, 512)), jnp.float32);'
+    'idx = np.asarray(f(z, cb));'
+    'ref = np.asarray(jnp.argmin('
+    '  jnp.sum((z[:, None, :] - cb[None]) ** 2, -1), 1));'
+    'print("PALLAS_EXEC_OK match:", (idx == ref).all())')], 300, None,
+    False)
+
+
+def load_state():
+    try:
+        with open(STATE_FILE) as f:
+            st = json.load(f)
+            st.setdefault('attempts', {})
+            return st
+    except Exception:
+        return {'done': [], 'results': [], 'attempts': {}}
+
+
+def save_state(state):
+    with open(STATE_FILE, 'w') as f:
+        json.dump(state, f, indent=1)
+
+
+def probe(timeout_s=90):
+    """Varied-value health probe (defeats the relay's identical-dispatch
+    value cache). TERM on timeout, never SIGKILL-first."""
+    salt = int(time.time()) % 9973
+    p = subprocess.Popen(
+        [PY, '-c', f'import jax, jax.numpy as jnp; '
+         f'print("HOK", float(jnp.arange({salt}.0, {salt}.0 + 4).sum()))'],
+        cwd=HERE, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        out = p.communicate(timeout=timeout_s)[0]
+        return p.returncode == 0 and 'HOK' in out
+    except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            p.communicate(timeout=20)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.communicate()
+        return False
+
+
+def run_phase(name, cmd, budget_s, env_extra):
+    print(f'\n===== {name} (budget {budget_s}s) {time.strftime("%H:%M:%S")}',
+          flush=True)
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    if env_extra:
+        env.update(env_extra)
+    p = subprocess.Popen(cmd, cwd=HERE, env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+    try:
+        out = p.communicate(timeout=budget_s)[0]
+        ok = p.returncode == 0
+    except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            out = p.communicate(timeout=30)[0]
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = p.communicate()[0]
+        out = (out or '') + f'\n<<TIMEOUT after {budget_s}s>>'
+        ok = False
+    print(out, flush=True)
+    print(f'----- {name}: {"OK" if ok else "FAILED"}', flush=True)
+    return ok, out
+
+
+def main():
+    budget = float(os.environ.get('RELAY_WATCHDOG_BUDGET_S', 21600))
+    sleep_s = float(os.environ.get('RELAY_WATCHDOG_SLEEP_S', 600))
+    include_pallas = os.environ.get('RELAY_WATCHDOG_PALLAS', '0') == '1'
+    t0 = time.time()
+    state = load_state()
+
+    agenda = list(AGENDA)
+    if include_pallas:
+        agenda.append(PALLAS_PHASE[:3] + (PALLAS_PHASE[3],
+                                          PALLAS_PHASE[4]))
+
+    MAX_ATTEMPTS = 3
+    while time.time() - t0 < budget:
+        pending = [ph for ph in agenda
+                   if ph[4] or (ph[0] not in state['done']
+                                and state['attempts'].get(ph[0], 0)
+                                < MAX_ATTEMPTS)]
+        if not pending:
+            print('agenda complete', flush=True)
+            return
+        if not probe():
+            print(f'[{time.strftime("%H:%M:%S")}] relay down; sleeping '
+                  f'{sleep_s:.0f}s', flush=True)
+            time.sleep(sleep_s)
+            continue
+        print(f'[{time.strftime("%H:%M:%S")}] relay HEALTHY; running '
+              f'{pending[0][0]}', flush=True)
+        name, cmd, b, env_extra, repeat = pending[0]
+        state['attempts'][name] = state['attempts'].get(name, 0) + 1
+        ok, out = run_phase(name, cmd, b, env_extra)
+        state['results'].append({'name': name, 'ok': ok, 'ts':
+                                 time.strftime('%H:%M:%S'),
+                                 'tail': out[-1500:]})
+        if ok and not repeat:
+            state['done'].append(name)
+        if ok and repeat:
+            # bench_warm: space repeats out so the loop doesn't hammer
+            save_state(state)
+            time.sleep(max(sleep_s, 900))
+            continue
+        save_state(state)
+        if not ok and out.endswith('>>'):
+            # slow compile or mid-phase relay death; cool down either way
+            print('cooling down 180s after phase timeout', flush=True)
+            time.sleep(180)
+
+    print('watchdog budget exhausted', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -91,6 +91,17 @@ class SRInferencer:
 
         self._forward = _forward
 
+        @jax.jit
+        def _forward_chunks(params, xs):
+            """(nC, chunk, h, w, 3) -> (nC, chunk, hs, ws, 3): the whole
+            chunked tile grid inside ONE dispatch (lax.map serializes the
+            chunks on-device — same peak memory as the python loop, no
+            per-chunk dispatch overhead)."""
+            return jax.lax.map(
+                lambda xb: _forward(params, xb), xs)
+
+        self._forward_chunks = _forward_chunks
+
     def _run(self, x: jax.Array) -> jax.Array:
         """Dispatch one batch; under a mesh, round the batch up to the data
         axis and shard it (computation follows the data placement)."""
@@ -120,12 +131,16 @@ class SRInferencer:
     # -- batched tiles ------------------------------------------------------
 
     def run_tiled(self, x: jax.Array, tile_size: int = 240,
-                  tile_pad: int = 16) -> jax.Array:
+                  tile_pad: int = 16, fuse_chunks: bool = False) -> jax.Array:
         """Overlap-tiled SR: one batched jitted forward over all tiles.
 
         Replaces the reference's sequential y/x python loop
         (femasr_arch.py:404-446) with reflect-pad -> uniform tile grid ->
         batched forward -> center stitch.
+
+        fuse_chunks=True additionally runs ALL chunks inside one jitted
+        lax.map dispatch (single-device only) — removes per-chunk
+        dispatch overhead on dispatch-bound hosts.
         """
         b, h, w, c = x.shape
         s = self.scale
@@ -157,6 +172,16 @@ class SRInferencer:
         # chunked batched forward (static chunk shape -> single compile)
         n = batch.shape[0]
         chunk = min(self.max_tile_batch, n)
+        if fuse_chunks and self.mesh is None:
+            pad_n = (-n) % chunk
+            if pad_n:
+                batch = jnp.concatenate(
+                    [batch, jnp.repeat(batch[-1:], pad_n, axis=0)], axis=0)
+            stacked = batch.reshape(-1, chunk, *batch.shape[1:])
+            out_tiles = self._forward_chunks(self.params, stacked)
+            out_tiles = out_tiles.reshape(-1, *out_tiles.shape[2:])[:n]
+            return self._stitch(out_tiles, b, h, w, c, tiles_y, tiles_x,
+                                tile_size, pad_lo)
         outs = []
         for i in range(0, n, chunk):
             part = batch[i:i + chunk]
@@ -168,8 +193,14 @@ class SRInferencer:
             else:
                 outs.append(self._run(part))
         out_tiles = jnp.concatenate(outs, axis=0)
+        return self._stitch(out_tiles, b, h, w, c, tiles_y, tiles_x,
+                            tile_size, pad_lo)
 
-        # stitch tile centers
+    def _stitch(self, out_tiles, b, h, w, c, tiles_y, tiles_x, tile_size,
+                pad_lo):
+        """Paste tile centers back into the (B, H*s, W*s) canvas."""
+        s = self.scale
+        grid_h, grid_w = tiles_y * tile_size, tiles_x * tile_size
         out = jnp.zeros((b, grid_h * s, grid_w * s, c), jnp.float32)
         k = 0
         for ty in range(tiles_y):
@@ -219,7 +250,8 @@ class SRInferencer:
     # -- dispatcher ---------------------------------------------------------
 
     def __call__(self, img: np.ndarray, max_size: int = 600,
-                 tile_size: int = 240, tile_pad: int = 16) -> np.ndarray:
+                 tile_size: int = 240, tile_pad: int = 16,
+                 fuse_chunks: bool = False) -> np.ndarray:
         """SR a single HWC [0,1] RGB image; whole vs tiled by pixel count
         (inference_femasr.py:58-63)."""
         x = jnp.asarray(img, jnp.float32)[None]
@@ -227,7 +259,8 @@ class SRInferencer:
         if h * w < max_size ** 2:
             out = self.run_padded(x)
         else:
-            out = self.run_tiled(x, tile_size=tile_size, tile_pad=tile_pad)
+            out = self.run_tiled(x, tile_size=tile_size, tile_pad=tile_pad,
+                                 fuse_chunks=fuse_chunks)
         return np.asarray(out[0])
 
 

@@ -60,6 +60,9 @@ def main():
                              'dynamic quantization)')
     parser.add_argument('--attn_pack', type=int, default=1,
                         help='window-packing factor for the swin attention')
+    parser.add_argument('--fuse_chunks', action='store_true',
+                        help='tiled mode: run ALL tile chunks inside one '
+                             'jitted lax.map dispatch (single-device)')
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -150,7 +153,7 @@ def main():
 
         t0 = time.time()
         out = sr(rgb, max_size=args.max_size, tile_size=args.tile_size,
-                 tile_pad=args.tile_pad)
+                 tile_pad=args.tile_pad, fuse_chunks=args.fuse_chunks)
         dt = time.time() - t0
         save(img_name, out)
         mp = rgb.shape[0] * rgb.shape[1] / 1e6

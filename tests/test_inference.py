@@ -67,6 +67,15 @@ def test_tiled_matches_whole_in_interior():
     diff = np.abs(tiled - whole)[:, 32:-32, 32:-32]
     assert np.median(diff) < 2e-2
 
+    # fused-chunk path (whole grid in ONE lax.map dispatch) must equal
+    # the python-loop chunk path exactly (same forwards, same stitch);
+    # max_tile_batch 4 with 6 tiles also exercises the ragged-chunk pad
+    sr.max_tile_batch = 4
+    loop = np.asarray(sr.run_tiled(img, tile_size=16, tile_pad=8))
+    fused = np.asarray(sr.run_tiled(img, tile_size=16, tile_pad=8,
+                                    fuse_chunks=True))
+    np.testing.assert_allclose(fused, loop, atol=1e-6)
+
 
 def test_dispatcher_selects_paths():
     _, sr = _make_pair()

@@ -238,3 +238,47 @@ def test_face_helper_warp_and_paste():
     helper.add_restored_face(cv2.resize(crops[0], (64, 64)))
     out = helper.paste_faces_to_input_image()
     assert out.shape == (256, 256, 3)
+
+
+def test_relay_watchdog_queue_logic(tmp_path, monkeypatch):
+    """Watchdog state machine: phases run in priority order, completed
+    once-only phases are not re-run, failing phases are capped at 3
+    attempts, state persists across restarts. Uses stub commands and a
+    stubbed probe — no TPU."""
+    import importlib.util
+    import sys as _sys
+    spec = importlib.util.spec_from_file_location(
+        'relay_watchdog',
+        os.path.join(os.path.dirname(__file__), '..', 'scripts',
+                     'relay_watchdog.py'))
+    wd = importlib.util.module_from_spec(spec)
+    _sys.modules['relay_watchdog'] = wd
+    spec.loader.exec_module(wd)
+
+    wd.STATE_FILE = str(tmp_path / 'state.json')
+    calls = []
+    wd.AGENDA = [
+        ('ok_phase', [_sys.executable, '-c', 'print("fine")'], 30, None,
+         False),
+        ('bad_phase', [_sys.executable, '-c', 'raise SystemExit(1)'], 30,
+         None, False),
+        ('repeat_phase', [_sys.executable, '-c', 'print("again")'], 30,
+         None, True),
+    ]
+    monkeypatch.setattr(wd, 'probe', lambda timeout_s=90: True)
+    monkeypatch.setattr(wd.time, 'sleep', lambda s: calls.append(('sleep', s)))
+    monkeypatch.setenv('RELAY_WATCHDOG_BUDGET_S', '2')
+
+    t = {'v': 0.0}
+    real_time = wd.time.time
+    # advance fake time 0.1s per call so the 2s budget ends the loop
+    monkeypatch.setattr(wd.time, 'time', lambda: t.__setitem__(
+        'v', t['v'] + 0.05) or t['v'])
+    wd.main()
+
+    state = wd.load_state()
+    assert 'ok_phase' in state['done']
+    assert 'bad_phase' not in state['done']
+    assert state['attempts'].get('bad_phase', 0) <= 3
+    # once-only phases never re-run after done; attempts recorded once
+    assert state['attempts']['ok_phase'] == 1

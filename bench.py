@@ -51,8 +51,8 @@ def _fail_json(reason):
     print(json.dumps({
         'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
         'value': 0.0,
-        'unit': f'FAILED: {reason} (relay down; 1.29 MP/s when healthy, '
-                'see NOTES_ROUND2.md)',
+        'unit': f'FAILED: {reason} (relay down/flapping; 1.29 MP/s '
+                'when healthy — see NOTES_ROUND3.md relay log)',
         'vs_baseline': None}), flush=True)
 
 

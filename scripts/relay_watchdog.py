@@ -168,6 +168,19 @@ def main():
         if not pending:
             print('agenda complete', flush=True)
             return
+        # never co-run TPU measurements with the CPU test suite (CLAUDE.md:
+        # 5x distortion measured on the 1-core container)
+        try:
+            busy = subprocess.run(['pgrep', '-c', '-f', 'pytest'],
+                                  capture_output=True,
+                                  text=True).stdout.strip()
+            if busy and int(busy) > 0:
+                print(f'[{time.strftime("%H:%M:%S")}] pytest running; '
+                      'deferring TPU phases 120s', flush=True)
+                time.sleep(120)
+                continue
+        except Exception:
+            pass
         if not probe():
             print(f'[{time.strftime("%H:%M:%S")}] relay down; sleeping '
                   f'{sleep_s:.0f}s', flush=True)

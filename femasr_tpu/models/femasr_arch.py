@@ -62,17 +62,29 @@ class EncoderUpBlock(nn.Module):
     fused_upsample=True runs the exact fused low-res formulation
     (ops/layers.py fused_upsample2x_conv3) — 2.25x fewer conv FLOPs; kept
     opt-in because its compile hangs this harness's remote TPU compiler.
+
+    int8=True runs all three convs in w8a8 (serving-only). Index-SAFE: in
+    the LQ stage these up-block outputs are only the post-quantizer skip
+    residuals (encode_and_decode `out + enc_feats[i]`); the quantizer
+    consumes the SWIN output, which stays float.
     """
     out_ch: int
     norm_type: str = 'gn'
     act_type: str = 'silu'
     fused_upsample: bool = False
+    int8: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = UpConv3(self.out_ch, fused=self.fused_upsample, dtype=self.dtype,
-                    name='conv')(x)
+        x = UpConv3(self.out_ch, fused=self.fused_upsample, int8=self.int8,
+                    dtype=self.dtype, name='conv')(x)
+        if self.int8:
+            x = ResBlockInt8(self.out_ch, self.norm_type, self.act_type,
+                             self.dtype, name='res1')(x, train)
+            x = ResBlockInt8(self.out_ch, self.norm_type, self.act_type,
+                             self.dtype, name='res2')(x, train)
+            return x
         x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
                      self.dtype, name='res1')(x, train)
         x = ResBlock(self.out_ch, self.out_ch, self.norm_type, self.act_type,
@@ -266,6 +278,7 @@ class MultiScaleEncoder(nn.Module):
     swin_mlp_ratio: float = 4.0
     use_checkpoint: bool = False
     fused_upsample: bool = False
+    int8_enc_up: bool = False
     attn_pack: int = 1
     attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
@@ -298,7 +311,8 @@ class MultiScaleEncoder(nn.Module):
             for _ in range(2):
                 out_ch = CHANNEL_QUERY_DICT[res * 2]
                 x = EncoderUpBlock(out_ch, self.norm_type, self.act_type,
-                                   self.fused_upsample, self.dtype,
+                                   self.fused_upsample, self.int8_enc_up,
+                                   self.dtype,
                                    name=f'blocks_{idx}')(x, train)
                 outputs.append(x)
                 res *= 2
@@ -340,6 +354,9 @@ class FeMaSRNet(nn.Module):
     # >1 with int8_tail: quantize the last N decoder levels, not just the
     # final one (level C=128 also sits below bf16 MXU peak)
     int8_levels: int = 1
+    # serving-only: LQ-encoder up blocks in w8a8 (index-SAFE — they feed
+    # only the post-quantizer skip residuals; see EncoderUpBlock)
+    int8_enc_up: bool = False
     # window-packing factor for the swin attention einsums (exact math for
     # any value — cross-window terms are masked to exp -> 0; see
     # ops/swin.py WindowAttention.pack)
@@ -378,7 +395,8 @@ class FeMaSRNet(nn.Module):
             input_res=self.gt_resolution // self.effective_scale_factor,
             norm_type=self.norm_type, act_type=self.act_type,
             lq_stage=self.LQ_stage, use_checkpoint=self.use_checkpoint,
-            fused_upsample=self.fused_upsample, attn_pack=self.attn_pack,
+            fused_upsample=self.fused_upsample,
+            int8_enc_up=self.int8_enc_up, attn_pack=self.attn_pack,
             attn_pack_shifted=self.attn_pack_shifted,
             dtype=self.dtype)
 

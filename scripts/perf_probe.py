@@ -28,6 +28,9 @@ def main():
                     help='w8a8 int8 decoder tail')
     ap.add_argument('--int8-levels', type=int, default=1,
                     help='last N decoder levels quantized (with --int8)')
+    ap.add_argument('--int8-enc-up', action='store_true',
+                    help='also quantize the LQ-encoder up blocks '
+                         '(index-safe; post-quantizer skips only)')
     ap.add_argument('--pack', type=int, default=1)
     ap.add_argument('--no-pack-shifted', action='store_true',
                     help='leave SW-MSA (masked) blocks unpacked')
@@ -48,6 +51,7 @@ def main():
                       scale_factor=4, norm_type='gn', act_type='silu',
                       fused_upsample=args.fused, s2d_tail=args.s2d,
                       int8_tail=args.int8, int8_levels=args.int8_levels,
+                      int8_enc_up=args.int8_enc_up,
                       attn_pack=args.pack,
                       attn_pack_shifted=not args.no_pack_shifted,
                       dtype=jnp.bfloat16)

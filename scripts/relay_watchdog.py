@@ -44,6 +44,8 @@ AGENDA = [
      False),
     ('int8_all_levels', [PY, 'scripts/perf_probe.py', '512', '1',
                          '--int8', '--int8-levels', '3'], 600, None, False),
+    ('int8_max', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
+                  '--int8-levels', '3', '--int8-enc-up'], 600, None, False),
     ('train_chain8', [PY, 'scripts/train_step_probe.py', '--gt', '256',
                       '--batch', '8', '--dtype', 'bfloat16', '--chain', '8',
                       '--iters', '16'], 900, None, False),

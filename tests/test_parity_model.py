@@ -207,16 +207,22 @@ def test_int8_tail_model_quality():
     xi = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 3))
     variables = net.init(jax.random.PRNGKey(3), xi)
     ref, _, _, idx_ref = net.apply(variables, xi)
-    net_i8 = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
-                       scale_factor=4, norm_type='gn', act_type='silu',
-                       int8_tail=True)
-    out, _, _, idx = net_i8.apply(variables, xi)
-    assert out.shape == ref.shape
-    np.testing.assert_array_equal(np.asarray(idx[0]), np.asarray(idx_ref[0]))
-    err = np.asarray(out) - np.asarray(ref)
-    span = float(np.asarray(ref).max() - np.asarray(ref).min()) or 1.0
-    psnr = 10 * np.log10(span ** 2 / max(float(np.mean(err ** 2)), 1e-12))
-    assert psnr > 30.0, f'int8 tail too lossy: {psnr:.1f} dB vs float path'
+    for kw in (dict(int8_tail=True),
+               dict(int8_tail=True, int8_levels=3, int8_enc_up=True)):
+        net_i8 = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
+                           scale_factor=4, norm_type='gn', act_type='silu',
+                           **kw)
+        out, _, _, idx = net_i8.apply(variables, xi)
+        assert out.shape == ref.shape
+        # indices must be IDENTICAL: the tail is post-VQ and the int8
+        # encoder up blocks feed only post-quantizer skips
+        np.testing.assert_array_equal(np.asarray(idx[0]),
+                                      np.asarray(idx_ref[0]))
+        err = np.asarray(out) - np.asarray(ref)
+        span = float(np.asarray(ref).max() - np.asarray(ref).min()) or 1.0
+        psnr = 10 * np.log10(span ** 2 / max(float(np.mean(err ** 2)),
+                                             1e-12))
+        assert psnr > 30.0, f'int8 {kw} too lossy: {psnr:.1f} dB'
 
 
 def test_attn_pack_model_equivalence():

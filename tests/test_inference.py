@@ -184,3 +184,23 @@ def test_bf16_close_to_f32():
     out16 = np.asarray(sr16.run_padded(img))
     err = np.abs(out32 - out16).mean()
     assert err < 0.02, f'bf16 deviates too much: mean abs {err}'
+
+
+def test_int8_serving_quality_full_arch():
+    """int8 serving modes on the RELEASE architecture with converted
+    reference weights: output must stay within int8 quantization noise of
+    the f32 engine (PSNR gate), end-to-end through SRInferencer."""
+    tnet, sr = _make_pair()
+    del tnet
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    ref = np.asarray(sr.run_padded(img))
+
+    sr_i8 = SRInferencer(sr.params, scale_factor=4, dtype=jnp.float32,
+                         int8_tail=True, int8_levels=3, int8_enc_up=True,
+                         init_merge=False)
+    out = np.asarray(sr_i8.run_padded(img))
+    assert out.shape == ref.shape
+    err = out - ref
+    psnr = 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-12))
+    assert psnr > 30.0, f'int8 serving too lossy on release arch: {psnr:.1f} dB'

@@ -62,11 +62,14 @@ def main():
     def remaining():
         return deadline - time.monotonic()
 
-    # 1. relay health probe (CLAUDE.md one-liner) — twice, cheap
+    # 1. relay health probe (CLAUDE.md one-liner) — twice, cheap.
+    # FEMASR_BENCH_SKIP_PROBE=1 (set by scripts/relay_watchdog.py, which
+    # probed seconds earlier) skips both probes: healthy windows on the
+    # flapping relay last ~5 min and two 60 s probes can eat half of one.
     probe = ('import jax, jax.numpy as jnp; '
              'print(float(jnp.arange(4.).sum()))')
-    healthy = False
-    for _ in range(2):
+    healthy = os.environ.get('FEMASR_BENCH_SKIP_PROBE') == '1'
+    for _ in range(0 if healthy else 2):
         try:
             r = subprocess.run([sys.executable, '-c', probe], cwd=HERE,
                                timeout=min(PROBE_BUDGET_S, remaining()),

@@ -279,6 +279,7 @@ class MultiScaleEncoder(nn.Module):
     use_checkpoint: bool = False
     fused_upsample: bool = False
     int8_enc_up: bool = False
+    int8_swin: bool = False
     attn_pack: int = 1
     attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
@@ -304,6 +305,7 @@ class MultiScaleEncoder(nn.Module):
                            use_checkpoint=self.use_checkpoint,
                            attn_pack=self.attn_pack,
                            attn_pack_shifted=self.attn_pack_shifted,
+                           int8_linears=self.int8_swin,
                            dtype=self.dtype,
                            name=f'blocks_{idx}')(x)
             outputs.append(x)
@@ -357,6 +359,12 @@ class FeMaSRNet(nn.Module):
     # serving-only: LQ-encoder up blocks in w8a8 (index-SAFE — they feed
     # only the post-quantizer skip residuals; see EncoderUpBlock)
     int8_enc_up: bool = False
+    # serving-only: swin qkv/proj/fc1/fc2 linears in w8a8 (~96% of swin
+    # FLOPs, the largest serving segment). NOT index-safe: swin feeds
+    # the quantizer, so near-tie codebook indices can flip — the same
+    # divergence class as bf16 serving (PARITY.md); quality-gated in
+    # tests/test_inference.py
+    int8_swin: bool = False
     # window-packing factor for the swin attention einsums (exact math for
     # any value — cross-window terms are masked to exp -> 0; see
     # ops/swin.py WindowAttention.pack)
@@ -396,7 +404,8 @@ class FeMaSRNet(nn.Module):
             norm_type=self.norm_type, act_type=self.act_type,
             lq_stage=self.LQ_stage, use_checkpoint=self.use_checkpoint,
             fused_upsample=self.fused_upsample,
-            int8_enc_up=self.int8_enc_up, attn_pack=self.attn_pack,
+            int8_enc_up=self.int8_enc_up, int8_swin=self.int8_swin,
+            attn_pack=self.attn_pack,
             attn_pack_shifted=self.attn_pack_shifted,
             dtype=self.dtype)
 

@@ -400,6 +400,55 @@ def conv3_w8a8(x: jax.Array, kernel: jax.Array,
     return y.astype(x.dtype)
 
 
+def dense_w8a8(x: jax.Array, kernel: jax.Array,
+               bias: Optional[jax.Array] = None) -> jax.Array:
+    """Dense layer computed in int8 (w8a8, int32 MXU accumulation).
+
+    x: (..., I); kernel: (I, O) float (the SAME parameter layout as
+    nn.Dense, so int8 mode is checkpoint-free). Weights are quantized
+    per-output-channel (symmetric, static given params), activations
+    per-tensor (symmetric, dynamic — one extra max-reduction). Returns
+    (..., O) in x.dtype. Serving-only: no gradients.
+    """
+    kf = kernel.astype(jnp.float32)
+    s_w = jnp.max(jnp.abs(kf), axis=0) / 127.0                # (O,)
+    s_w = jnp.maximum(s_w, 1e-12)
+    k_q = jnp.round(kf / s_w).astype(jnp.int8)
+
+    xf = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf)) / 127.0                        # scalar
+    s_x = jnp.maximum(s_x, 1e-12)
+    x_q = jnp.round(xf / s_x).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        x_q, k_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s_x * s_w)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+class DenseInt8(nn.Module):
+    """nn.Dense computed in w8a8 int8; param names/shapes identical to
+    nn.Dense (kernel (I, O) [+ bias (O,)]) so checkpoints interchange
+    with the float path. Serving-only, opt-in via
+    FeMaSRNet(int8_swin=True) for the swin linears."""
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (in_ch, self.features), jnp.float32)
+        bias = (self.param('bias', nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return dense_w8a8(x.astype(self.dtype), kernel, bias)
+
+
 def pixel_shuffle_phase_major(x: jax.Array) -> jax.Array:
     """(B, H, W, 4C) phase-major S2D -> (B, 2H, 2W, C)."""
     b, h, w, c4 = x.shape

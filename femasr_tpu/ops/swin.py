@@ -128,7 +128,10 @@ def window_reverse(windows: jax.Array, window_size: int, h: int,
 # ---------------------------------------------------------------------------
 
 def dense(features: int, use_bias: bool = True, dtype: Dtype = jnp.float32,
-          name: Optional[str] = None) -> nn.Dense:
+          int8: bool = False, name: Optional[str] = None) -> nn.Module:
+    if int8:
+        from .layers import DenseInt8
+        return DenseInt8(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype,
                     param_dtype=jnp.float32, name=name)
 
@@ -137,17 +140,20 @@ class Mlp(nn.Module):
     """fc1 -> GELU(exact) -> fc2 (network_swinir.py:14-30; dropout rate 0)."""
     hidden_features: int
     out_features: int
+    int8: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = dense(self.hidden_features, dtype=self.dtype, name='fc1')(x)
+        x = dense(self.hidden_features, dtype=self.dtype, int8=self.int8,
+                  name='fc1')(x)
         # f32 models: exact erf GELU (torch nn.GELU default — reference
         # semantics). Reduced precision: tanh approximation — its ~1e-3
         # relative error sits below bf16's own 4e-3 rounding, and the erf
         # polynomial alone costs ~0.9 ms/block at 256px (measured).
         x = nn.gelu(x, approximate=self.dtype != jnp.float32)
-        x = dense(self.out_features, dtype=self.dtype, name='fc2')(x)
+        x = dense(self.out_features, dtype=self.dtype, int8=self.int8,
+                  name='fc2')(x)
         return x
 
 
@@ -173,6 +179,9 @@ class WindowAttention(nn.Module):
     # blocks unpacked (their packed mask constant is nW/p x (pN)^2 — an
     # ablation knob for isolating constant-traffic cost)
     pack_shifted: bool = True
+    # w8a8 int8 qkv/proj linears (serving-only; attention einsums and
+    # softmax stay in the float dtype — see FeMaSRNet.int8_swin)
+    int8_linears: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -192,7 +201,7 @@ class WindowAttention(nn.Module):
             jnp.float32)
 
         qkv = dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                    name='qkv')(x)
+                    int8=self.int8_linears, name='qkv')(x)
 
         rpi_flat = relative_position_index(*self.window_size).reshape(-1)
 
@@ -210,7 +219,8 @@ class WindowAttention(nn.Module):
             tw = next(t for t in (16, 8, 4, 2, 1) if b_ % t == 0)
             out = window_attention_fused(q, k, v, bias_p, mask_p,
                                          num_heads=nh, tw=tw)
-            return dense(c, dtype=self.dtype, name='proj')(out)
+            return dense(c, dtype=self.dtype, int8=self.int8_linears,
+                         name='proj')(out)
 
         # slice q/k/v out of the fused projection instead of materializing a
         # (3, B_, nh, N, hd) transpose of the whole tensor; the per-head
@@ -279,7 +289,8 @@ class WindowAttention(nn.Module):
             s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
             attn = e / s.astype(acc_dtype)
         out = jnp.einsum('bhnm,bmhd->bnhd', attn, v).reshape(b_, n, c)
-        return dense(c, dtype=self.dtype, name='proj')(out)
+        return dense(c, dtype=self.dtype, int8=self.int8_linears,
+                     name='proj')(out)
 
 
 class SwinTransformerBlock(nn.Module):
@@ -300,6 +311,7 @@ class SwinTransformerBlock(nn.Module):
     attn_backend: str = 'xla'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
+    int8_linears: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -328,6 +340,7 @@ class SwinTransformerBlock(nn.Module):
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, backend=self.attn_backend,
             pack=self.attn_pack, pack_shifted=self.attn_pack_shifted,
+            int8_linears=self.int8_linears,
             dtype=self.dtype, name='attn')(
                 x_windows, mask=mask,
                 n_windows=(h // window_size) * (w // window_size))
@@ -340,7 +353,8 @@ class SwinTransformerBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name='norm2')(x)
         y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
-                out_features=self.dim, dtype=self.dtype, name='mlp')(y)
+                out_features=self.dim, int8=self.int8_linears,
+                dtype=self.dtype, name='mlp')(y)
         return x + y
 
 
@@ -361,6 +375,7 @@ class BasicLayer(nn.Module):
     attn_backend: str = 'xla'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
+    int8_linears: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -378,6 +393,7 @@ class BasicLayer(nn.Module):
                 qk_scale=self.qk_scale, attn_backend=self.attn_backend,
                 attn_pack=self.attn_pack,
                 attn_pack_shifted=self.attn_pack_shifted,
+                int8_linears=self.int8_linears,
                 dtype=self.dtype, name=f'blocks_{i}')(x)
         return x
 
@@ -401,6 +417,7 @@ class RSTB(nn.Module):
     attn_backend: str = 'xla'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
+    int8_linears: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -413,6 +430,7 @@ class RSTB(nn.Module):
                        attn_backend=self.attn_backend,
                        attn_pack=self.attn_pack,
                        attn_pack_shifted=self.attn_pack_shifted,
+                       int8_linears=self.int8_linears,
                        dtype=self.dtype,
                        name='residual_group')(x)
         y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
@@ -432,6 +450,12 @@ class SwinLayers(nn.Module):
     attn_backend: str = 'xla'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
+    # w8a8 int8 qkv/proj/fc1/fc2 linears (~96% of swin FLOPs; the v5e
+    # int8 MXU path peaks at 2x bf16). Serving-only, checkpoint-free.
+    # NOTE: swin feeds the quantizer, so int8 here can flip near-tie
+    # codebook indices — same divergence class as bf16 serving
+    # (PARITY.md); gate via tests/test_inference.py int8 quality test.
+    int8_linears: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -445,6 +469,7 @@ class SwinLayers(nn.Module):
                      attn_backend=self.attn_backend,
                      attn_pack=self.attn_pack,
                      attn_pack_shifted=self.attn_pack_shifted,
+                     int8_linears=self.int8_linears,
                      dtype=self.dtype,
                      name=f'swin_blks_{i}')(x)
         return x

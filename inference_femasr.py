@@ -58,6 +58,18 @@ def main():
                         help='run the last decoder level + out_conv in w8a8 '
                              'int8 (2x MXU peak on v5e; checkpoint-free '
                              'dynamic quantization)')
+    parser.add_argument('--int8_levels', type=int, default=1,
+                        help='with --int8_tail: how many decoder levels '
+                             '(from the output end) run int8 (1-3)')
+    parser.add_argument('--int8_enc_up', action='store_true',
+                        help='with --int8_tail: also quantize the LQ-encoder '
+                             'up blocks (skips the pre-quantizer convs so '
+                             'codebook indices stay float-exact)')
+    parser.add_argument('--int8_swin', action='store_true',
+                        help='quantize the swin qkv/proj/mlp linears w8a8 '
+                             '(~96%% of the largest serving segment; may '
+                             'flip near-tie codebook indices — same class '
+                             'as bf16 serving divergence)')
     parser.add_argument('--attn_pack', type=int, default=1,
                         help='window-packing factor for the swin attention')
     parser.add_argument('--fuse_chunks', action='store_true',
@@ -84,7 +96,11 @@ def main():
     sr = load_inferencer(weight_path, scale_factor=args.out_scale,
                          dtype=dtype, max_tile_batch=args.tile_batch,
                          mesh=mesh, tensor_parallel=args.tp > 1,
-                         int8_tail=args.int8_tail, attn_pack=args.attn_pack)
+                         int8_tail=args.int8_tail,
+                         int8_levels=args.int8_levels,
+                         int8_enc_up=args.int8_enc_up,
+                         int8_swin=args.int8_swin,
+                         attn_pack=args.attn_pack)
 
     os.makedirs(args.output, exist_ok=True)
     if os.path.isfile(args.input):

@@ -31,6 +31,9 @@ def main():
     ap.add_argument('--int8-enc-up', action='store_true',
                     help='also quantize the LQ-encoder up blocks '
                          '(index-safe; post-quantizer skips only)')
+    ap.add_argument('--int8-swin', action='store_true',
+                    help='w8a8 swin qkv/proj/mlp linears (largest segment; '
+                         'not index-safe)')
     ap.add_argument('--pack', type=int, default=1)
     ap.add_argument('--no-pack-shifted', action='store_true',
                     help='leave SW-MSA (masked) blocks unpacked')
@@ -52,6 +55,7 @@ def main():
                       fused_upsample=args.fused, s2d_tail=args.s2d,
                       int8_tail=args.int8, int8_levels=args.int8_levels,
                       int8_enc_up=args.int8_enc_up,
+                      int8_swin=args.int8_swin,
                       attn_pack=args.pack,
                       attn_pack_shifted=not args.no_pack_shifted,
                       dtype=jnp.bfloat16)

@@ -30,7 +30,8 @@ PY = sys.executable
 
 # (name, cmd, budget_s, env_extra, repeatable)
 AGENDA = [
-    ('bench', [PY, 'bench.py'], 600, None, False),
+    ('bench', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
     ('batch2_full_enc', [PY, 'scripts/batch2_probe.py', '512',
                          '--segments', 'full,encoder'], 600, None, False),
     ('pack2_full', [PY, 'scripts/perf_probe.py', '512', '1',
@@ -46,6 +47,11 @@ AGENDA = [
                          '--int8', '--int8-levels', '3'], 600, None, False),
     ('int8_max', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
                   '--int8-levels', '3', '--int8-enc-up'], 600, None, False),
+    ('int8_swin_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                        '--int8-swin'], 600, None, False),
+    ('int8_everything', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
+                         '--int8-levels', '3', '--int8-enc-up',
+                         '--int8-swin'], 600, None, False),
     ('train_chain8', [PY, 'scripts/train_step_probe.py', '--gt', '256',
                       '--batch', '8', '--dtype', 'bfloat16', '--chain', '8',
                       '--iters', '16'], 900, None, False),
@@ -64,7 +70,8 @@ AGENDA = [
                       '--iters', '6'], 600, None, False),
     # bench_warm repeats until the round ends so the LAST completed run
     # always left warm caches + a fresh honest number in the log
-    ('bench_warm', [PY, 'bench.py'], 600, None, True),
+    ('bench_warm', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]
 
 PALLAS_PHASE = ('pallas_vq_compile', [PY, '-c', (
@@ -151,7 +158,9 @@ def run_phase(name, cmd, budget_s, env_extra):
 
 def main():
     budget = float(os.environ.get('RELAY_WATCHDOG_BUDGET_S', 21600))
-    sleep_s = float(os.environ.get('RELAY_WATCHDOG_SLEEP_S', 600))
+    # healthy windows last ~5 min (round-3 flapping log): a 10-min probe
+    # cadence misses most of them. 240 s sleep + 90 s probe ≈ 5.5 min cycle.
+    sleep_s = float(os.environ.get('RELAY_WATCHDOG_SLEEP_S', 240))
     include_pallas = os.environ.get('RELAY_WATCHDOG_PALLAS', '0') == '1'
     t0 = time.time()
     state = load_state()

@@ -204,3 +204,38 @@ def test_int8_serving_quality_full_arch():
     err = out - ref
     psnr = 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-12))
     assert psnr > 30.0, f'int8 serving too lossy on release arch: {psnr:.1f} dB'
+
+
+def test_int8_swin_quality_full_arch():
+    """int8_swin (w8a8 qkv/proj/mlp) on the RELEASE architecture: swin is
+    pre-quantizer, so gate BOTH the codebook index flip rate (near-ties
+    only — calibrated 2.7% on this arch/seed) and output PSNR (40.0 dB
+    measured; also gates the everything-int8 combination, 32.5 dB)."""
+    from femasr_tpu.models import FeMaSRNet
+    tnet, sr = _make_pair()
+    del tnet
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+
+    def run(**kw):
+        m = FeMaSRNet(codebook_params=CODEBOOK, LQ_stage=True,
+                      scale_factor=4, norm_type='gn', act_type='silu',
+                      dtype=jnp.float32, **kw)
+        out, _, _, idx = m.apply({'params': sr.params}, img)
+        return np.asarray(out), np.asarray(idx[0])
+
+    ref, idx_ref = run()
+    out, idx = run(int8_swin=True)
+    flips = float((idx != idx_ref).mean())
+    psnr = 10 * np.log10(
+        1.0 / max(float(np.mean((out - ref) ** 2)), 1e-12))
+    assert flips < 0.10, f'int8_swin flips too many indices: {flips:.1%}'
+    assert psnr > 32.0, f'int8_swin too lossy: {psnr:.1f} dB'
+
+    out2, idx2 = run(int8_swin=True, int8_tail=True, int8_levels=3,
+                     int8_enc_up=True)
+    flips2 = float((idx2 != idx_ref).mean())
+    psnr2 = 10 * np.log10(
+        1.0 / max(float(np.mean((out2 - ref) ** 2)), 1e-12))
+    assert flips2 < 0.10, f'all-int8 flips too many indices: {flips2:.1%}'
+    assert psnr2 > 29.0, f'all-int8 too lossy: {psnr2:.1f} dB'

@@ -225,6 +225,44 @@ def test_int8_tail_model_quality():
         assert psnr > 30.0, f'int8 {kw} too lossy: {psnr:.1f} dB'
 
 
+def test_int8_swin_model_quality():
+    """FeMaSRNet(int8_swin=True) runs the SAME params through w8a8 swin
+    linears. Swin is PRE-quantizer, so indices may flip on near-ties
+    (bounded), and the output must stay within int8 noise of float."""
+    from femasr_tpu.ops.layers import DenseInt8
+    import flax.linen as fnn
+
+    # unit: DenseInt8 param tree == nn.Dense and output within w8a8 noise
+    xd = jax.random.normal(jax.random.PRNGKey(0), (32, 48))
+    dense_f = fnn.Dense(24, param_dtype=jnp.float32)
+    vf = dense_f.init(jax.random.PRNGKey(1), xd)
+    dense_q = DenseInt8(24)
+    assert (jax.tree_util.tree_structure(vf)
+            == jax.tree_util.tree_structure(dense_q.init(
+                jax.random.PRNGKey(1), xd)))
+    yf = np.asarray(dense_f.apply(vf, xd))
+    yq = np.asarray(dense_q.apply(vf, xd))
+    rel = np.abs(yq - yf).mean() / (np.abs(yf).mean() or 1.0)
+    assert rel < 0.02, f'dense_w8a8 error too large: {rel:.4f}'
+
+    net = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
+                    scale_factor=4, norm_type='gn', act_type='silu')
+    xi = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 3))
+    variables = net.init(jax.random.PRNGKey(3), xi)
+    ref, _, _, idx_ref = net.apply(variables, xi)
+    net_i8 = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
+                       scale_factor=4, norm_type='gn', act_type='silu',
+                       int8_swin=True)
+    out, _, _, idx = net_i8.apply(variables, xi)
+    assert out.shape == ref.shape
+    flips = float((np.asarray(idx[0]) != np.asarray(idx_ref[0])).mean())
+    assert flips < 0.10, f'int8_swin flips too many indices: {flips:.1%}'
+    err = np.asarray(out) - np.asarray(ref)
+    span = float(np.asarray(ref).max() - np.asarray(ref).min()) or 1.0
+    psnr = 10 * np.log10(span ** 2 / max(float(np.mean(err ** 2)), 1e-12))
+    assert psnr > 28.0, f'int8_swin too lossy: {psnr:.1f} dB'
+
+
 def test_attn_pack_model_equivalence():
     """FeMaSRNet(attn_pack=4) == default on the same params (the packing
     plumbs MultiScaleEncoder -> SwinLayers -> WindowAttention)."""

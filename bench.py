@@ -164,9 +164,16 @@ def _child(tile):
     sys.path.insert(0, HERE)
     from femasr_tpu.models import FeMaSRNet
 
+    # BENCH_FLAGS: serving configuration knobs validated by the round-3
+    # relay-watchdog A/B phases (scripts/relay_watchdog.py). Only flags
+    # that measurably beat the plain bf16 path on the real chip get
+    # enabled here; exact-math flags (attn_pack, s2d_tail, fused_upsample)
+    # leave outputs bit-comparable, int8_* flags are quality-gated
+    # (tests/test_int8_quality.py) and disclosed in the unit string.
+    BENCH_FLAGS = {}
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
-                      dtype=jnp.bfloat16)
+                      dtype=jnp.bfloat16, **BENCH_FLAGS)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, tile, tile, 3), jnp.bfloat16))['params']
@@ -178,12 +185,16 @@ def _child(tile):
 
     baseline_mps = H100_PYTORCH_BASELINE_MPS
 
+    flag_note = (', serving flags ' + ','.join(sorted(BENCH_FLAGS))
+                 if BENCH_FLAGS else '')
+
     def emit(best_mps, best_batch):
         result = {
             'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
             'value': round(best_mps, 3),
             'unit': (f'MP/s (input pixels), bf16, batch {best_batch}, vs '
                      'bottom-up 1.5 MP/s H100-PyTorch-eager baseline'
+                     + flag_note
                      + ('' if tile == 512 else
                         f', FALLBACK {tile}px tiles (512px failed on this '
                         'relay)')),

@@ -29,17 +29,33 @@ STATE_FILE = '/tmp/relay_watchdog_state.json'
 PY = sys.executable
 
 # (name, cmd, budget_s, env_extra, repeatable)
+# Priority-ordered for SCARCE healthy windows (~3 per 4 h observed):
+# decision-making levers first (each directly changes the shipped default
+# or produces a VERDICT done-criterion number), attribution/diagnosis after.
 AGENDA = [
     ('bench', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
     ('batch2_full_enc', [PY, 'scripts/batch2_probe.py', '512',
                          '--segments', 'full,encoder'], 600, None, False),
+    # 1. swin lever A/B (VERDICT #2: flip attn_pack default or delete it)
     ('pack2_full', [PY, 'scripts/perf_probe.py', '512', '1',
                     '--pack', '2'], 600, None, False),
-    ('int8_tail_full', [PY, 'scripts/perf_probe.py', '512', '1',
-                        '--int8'], 600, None, False),
+    # 2. max-throughput datapoint (VERDICT #7: the only >bf16-ceiling lever)
+    ('int8_everything', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
+                         '--int8-levels', '3', '--int8-enc-up',
+                         '--int8-swin'], 600, None, False),
+    # 3. decoder-tail layout fix A/B (VERDICT #1a: make a FLOP reducer win)
     ('s2d_align8', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
      600, {'FEMASR_S2D_ALIGN': '8'}, False),
+    # 4. first honest training-step number (VERDICT #4 done-criterion)
+    ('train_chain8', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                      '--batch', '8', '--dtype', 'bfloat16', '--chain', '8',
+                      '--iters', '16'], 900, None, False),
+    # 5+. attribution / diagnosis, in decreasing value
+    ('int8_swin_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                        '--int8-swin'], 600, None, False),
+    ('int8_tail_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                        '--int8'], 600, None, False),
     ('batch2_swin_dec_vq', [PY, 'scripts/batch2_probe.py', '512',
                             '--segments', 'swin,decoder,vq'], 600, None,
      False),
@@ -47,19 +63,11 @@ AGENDA = [
                          '--int8', '--int8-levels', '3'], 600, None, False),
     ('int8_max', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
                   '--int8-levels', '3', '--int8-enc-up'], 600, None, False),
-    ('int8_swin_full', [PY, 'scripts/perf_probe.py', '512', '1',
-                        '--int8-swin'], 600, None, False),
-    ('int8_everything', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
-                         '--int8-levels', '3', '--int8-enc-up',
-                         '--int8-swin'], 600, None, False),
-    ('train_chain8', [PY, 'scripts/train_step_probe.py', '--gt', '256',
-                      '--batch', '8', '--dtype', 'bfloat16', '--chain', '8',
-                      '--iters', '16'], 900, None, False),
-    ('pack_swin_seg', [PY, 'scripts/segment_probe.py', '512', '--swin-only',
-                       '--pack', '2'], 400, None, False),
     ('pack2_noshift_full', [PY, 'scripts/perf_probe.py', '512', '1',
                             '--pack', '2', '--no-pack-shifted'], 600, None,
      False),
+    ('pack_swin_seg', [PY, 'scripts/segment_probe.py', '512', '--swin-only',
+                       '--pack', '2'], 400, None, False),
     ('s2d_align1', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
      600, None, False),
     ('fused_full', [PY, 'scripts/perf_probe.py', '512', '1', '--fused'],
@@ -106,6 +114,18 @@ def load_state():
 def save_state(state):
     with open(STATE_FILE, 'w') as f:
         json.dump(state, f, indent=1)
+
+
+def pytest_running():
+    """True when the CPU test suite is active (read-only process scan —
+    never kills by pattern). Factored out so the queue-logic test, which
+    itself runs under pytest, can stub it."""
+    try:
+        busy = subprocess.run(['pgrep', '-c', '-f', 'pytest'],
+                              capture_output=True, text=True).stdout.strip()
+        return bool(busy) and int(busy) > 0
+    except Exception:
+        return False
 
 
 def probe(timeout_s=90):
@@ -181,17 +201,11 @@ def main():
             return
         # never co-run TPU measurements with the CPU test suite (CLAUDE.md:
         # 5x distortion measured on the 1-core container)
-        try:
-            busy = subprocess.run(['pgrep', '-c', '-f', 'pytest'],
-                                  capture_output=True,
-                                  text=True).stdout.strip()
-            if busy and int(busy) > 0:
-                print(f'[{time.strftime("%H:%M:%S")}] pytest running; '
-                      'deferring TPU phases 120s', flush=True)
-                time.sleep(120)
-                continue
-        except Exception:
-            pass
+        if pytest_running():
+            print(f'[{time.strftime("%H:%M:%S")}] pytest running; '
+                  'deferring TPU phases 120s', flush=True)
+            time.sleep(120)
+            continue
         if not probe():
             print(f'[{time.strftime("%H:%M:%S")}] relay down; sleeping '
                   f'{sleep_s:.0f}s', flush=True)

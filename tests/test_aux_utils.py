@@ -266,6 +266,9 @@ def test_relay_watchdog_queue_logic(tmp_path, monkeypatch):
          None, True),
     ]
     monkeypatch.setattr(wd, 'probe', lambda timeout_s=90: True)
+    # the test itself runs under pytest; without this stub the co-run
+    # guard would defer every phase and the loop would never run one
+    monkeypatch.setattr(wd, 'pytest_running', lambda: False)
     monkeypatch.setattr(wd.time, 'sleep', lambda s: calls.append(('sleep', s)))
     monkeypatch.setenv('RELAY_WATCHDOG_BUDGET_S', '2')
 

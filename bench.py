@@ -188,11 +188,11 @@ def _child(tile):
     flag_note = (', serving flags ' + ','.join(sorted(BENCH_FLAGS))
                  if BENCH_FLAGS else '')
 
-    def emit(best_mps, best_batch):
+    def emit(best_mps, best_desc):
         result = {
             'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
             'value': round(best_mps, 3),
-            'unit': (f'MP/s (input pixels), bf16, batch {best_batch}, vs '
+            'unit': (f'MP/s (input pixels), bf16, {best_desc}, vs '
                      'bottom-up 1.5 MP/s H100-PyTorch-eager baseline'
                      + flag_note
                      + ('' if tile == 512 else
@@ -203,7 +203,7 @@ def _child(tile):
         print(json.dumps(result), flush=True)
 
     flops_per_tile = None
-    best_mps, best_batch = 0.0, 0
+    best_mps, best_desc = 0.0, ''
     for batch in (1, 2):
         try:
             compiled = forward.lower(
@@ -233,17 +233,46 @@ def _child(tile):
         print(f'# tile={tile} batch={batch}: {dt * 1e3:.1f} ms/iter '
               f'pipelined -> {mps:.2f} MP/s', flush=True)
         if mps > best_mps:
-            best_mps, best_batch = mps, batch
+            best_mps, best_desc = mps, f'batch {batch}'
             # emit NOW: if the next batch's compile stalls and the parent
             # kills this child, the partial stdout still carries a valid
             # (conservative) JSON line
-            emit(best_mps, best_batch)
+            emit(best_mps, best_desc)
+
+    # chained serving pattern (models/inference.py fuse_chunks): K batch-1
+    # tiles inside ONE dispatch via lax.map — bit-identical outputs,
+    # amortizes the relay's per-dispatch overhead and sidesteps the
+    # measured batch>1 per-pixel regression (NOTES_ROUND3.md).
+    K = 8
+    try:
+        @jax.jit
+        def forward_chain(params, xs):
+            return jnp.sum(jax.lax.map(
+                lambda x: forward(params, x[None]), xs))
+
+        n_chain = max(2, N_ITER // 4)
+        xss = [jax.random.uniform(jax.random.PRNGKey(500 + i),
+                                  (K, tile, tile, 3), jnp.bfloat16)
+               for i in range(n_chain)]
+        float(forward_chain(params, xss[0]))  # warmup + compile
+        t0 = time.perf_counter()
+        results = [forward_chain(params, xs) for xs in xss]
+        _ = [float(r) for r in results]
+        dt = (time.perf_counter() - t0) / (n_chain * K)
+        mps = tile * tile / 1e6 / dt
+        print(f'# tile={tile} chainK={K}: {dt * 1e3:.1f} ms/tile '
+              f'-> {mps:.2f} MP/s', flush=True)
+        if mps > best_mps:
+            best_mps, best_desc = mps, f'chained x{K} lax.map dispatch'
+            emit(best_mps, best_desc)
+    except Exception as e:
+        print(f'# chain attempt failed: {type(e).__name__}', flush=True)
 
     if flops_per_tile:
         print(f'# {flops_per_tile / 1e12:.2f} TFLOP / {tile}px tile; '
               f'H100-PyTorch baseline {baseline_mps:.2f} MP/s '
               '(NOTES_ROUND2.md)', flush=True)
-    emit(best_mps, best_batch)
+    emit(best_mps, best_desc)
 
 
 if __name__ == '__main__':

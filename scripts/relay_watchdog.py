@@ -51,31 +51,48 @@ AGENDA = [
     ('train_chain8', [PY, 'scripts/train_step_probe.py', '--gt', '256',
                       '--batch', '8', '--dtype', 'bfloat16', '--chain', '8',
                       '--iters', '16'], 900, None, False),
-    # 5+. attribution / diagnosis, in decreasing value
+    # 5. one-shot run of the NEW bench (chained lax.map variant): if the
+    # degraded relay's loss vs round-2 (306.7 vs 224 ms on the identical
+    # cached program) is per-dispatch overhead, chaining 8 tiles per
+    # dispatch recovers most of it — the decisive experiment now that
+    # pack2/int8/s2d all failed to beat plain bf16 wall-clock.
+    ('bench_chain', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
+    # 6. train_chain8 measured a catastrophic 18.1 s/step (0.5 TFLOP/s) in
+    # the same window where inference ran at 40 TFLOP/s. Suspect: 50 MB of
+    # host batches H2D'd through the relay per chained dispatch, fully
+    # serialized. device-data reuses the ALREADY-CACHED chained program
+    # with on-device synthetic batches (no compile, pure compute number)
+    # and --h2d measures the raw relay H2D bandwidth for attribution.
+    ('train_chain8_dev', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                          '--batch', '8', '--dtype', 'bfloat16', '--chain',
+                          '8', '--iters', '16', '--device-data', '--h2d'],
+     600, None, False),
+    ('train_chain1', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                      '--batch', '8', '--dtype', 'bfloat16',
+                      '--iters', '6'], 600, None, False),
+    # 7+. attribution / diagnosis, in decreasing value
+    ('pack2_noshift_full', [PY, 'scripts/perf_probe.py', '512', '1',
+                            '--pack', '2', '--no-pack-shifted'], 600, None,
+     False),
+    ('fused_full', [PY, 'scripts/perf_probe.py', '512', '1', '--fused'],
+     600, None, False),
+    ('batch2_swin_dec_vq', [PY, 'scripts/batch2_probe.py', '512',
+                            '--segments', 'swin,decoder,vq'], 600, None,
+     False),
+    ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
     ('int8_swin_full', [PY, 'scripts/perf_probe.py', '512', '1',
                         '--int8-swin'], 600, None, False),
     ('int8_tail_full', [PY, 'scripts/perf_probe.py', '512', '1',
                         '--int8'], 600, None, False),
-    ('batch2_swin_dec_vq', [PY, 'scripts/batch2_probe.py', '512',
-                            '--segments', 'swin,decoder,vq'], 600, None,
-     False),
+    ('pack_swin_seg', [PY, 'scripts/segment_probe.py', '512', '--swin-only',
+                       '--pack', '2'], 400, None, False),
     ('int8_all_levels', [PY, 'scripts/perf_probe.py', '512', '1',
                          '--int8', '--int8-levels', '3'], 600, None, False),
     ('int8_max', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
                   '--int8-levels', '3', '--int8-enc-up'], 600, None, False),
-    ('pack2_noshift_full', [PY, 'scripts/perf_probe.py', '512', '1',
-                            '--pack', '2', '--no-pack-shifted'], 600, None,
-     False),
-    ('pack_swin_seg', [PY, 'scripts/segment_probe.py', '512', '--swin-only',
-                       '--pack', '2'], 400, None, False),
     ('s2d_align1', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
      600, None, False),
-    ('fused_full', [PY, 'scripts/perf_probe.py', '512', '1', '--fused'],
-     600, None, False),
-    ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
-    ('train_chain1', [PY, 'scripts/train_step_probe.py', '--gt', '256',
-                      '--batch', '8', '--dtype', 'bfloat16',
-                      '--iters', '6'], 600, None, False),
     # bench_warm repeats until the round ends so the LAST completed run
     # always left warm caches + a fresh honest number in the log
     ('bench_warm', [PY, 'bench.py'], 600,

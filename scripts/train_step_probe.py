@@ -31,6 +31,12 @@ def main():
                     help='>1: run K steps per dispatch via lax.scan '
                          '(optimize_parameters_chained) — amortizes the '
                          'relay per-dispatch argument round-trip')
+    ap.add_argument('--device-data', action='store_true',
+                    help='synthesize batches ON DEVICE (jax.random) — '
+                         'isolates relay H2D bandwidth from step compute '
+                         '(the 18 s/step train_chain8 anomaly suspect)')
+    ap.add_argument('--h2d', action='store_true',
+                    help='measure raw host->device bandwidth first')
     args = ap.parse_args()
 
     import jax
@@ -111,11 +117,38 @@ logger: {{print_freq: 1, use_tb_logger: false}}
     gt = args.gt
     lq = gt // 4
 
-    def batch(i):
-        return {'lq': rng.random((args.batch, lq, lq, 3), np.float32),
-                'gt': rng.random((args.batch, gt, gt, 3), np.float32)}
+    if args.h2d:
+        # raw H2D bandwidth through the relay (sync by fetching a scalar
+        # reduction — block_until_ready does not sync on this relay)
+        import jax.numpy as jnp
+        for mb in (1, 6, 50):
+            h = rng.random((max(1, mb * 250000),), np.float32)
+            t0 = time.perf_counter()
+            x = jax.device_put(h)
+            _ = float(jnp.sum(x))  # rng advances per size: values differ,
+            dt = time.perf_counter() - t0  # so the relay value cache misses
+            print(f'h2d {h.nbytes / 1e6:.0f} MB: {dt:.2f}s -> '
+                  f'{h.nbytes / dt / 1e6:.1f} MB/s', flush=True)
+
+    if args.device_data:
+        import jax.numpy as jnp
+
+        def batch(i):
+            k = jax.random.PRNGKey(i)
+            return {'lq': jax.random.uniform(
+                        jax.random.fold_in(k, 1),
+                        (args.batch, lq, lq, 3), jnp.float32),
+                    'gt': jax.random.uniform(
+                        jax.random.fold_in(k, 2),
+                        (args.batch, gt, gt, 3), jnp.float32)}
+    else:
+        def batch(i):
+            return {'lq': rng.random((args.batch, lq, lq, 3), np.float32),
+                    'gt': rng.random((args.batch, gt, gt, 3), np.float32)}
 
     stage = 'HQ' if args.hq else 'LQ-ondevice'
+    if args.device_data:
+        stage += ' device-data'
 
     if args.chain > 1:
         # K steps per dispatch: ONE scan program, donated state — the

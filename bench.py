@@ -47,6 +47,10 @@ TILE_BUDGET_S = {128: 150, 256: 120, 512: None}  # None = all remaining
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+class _SkipChain(Exception):
+    """Chained measurement only runs at the headline tile size."""
+
+
 def _fail_json(reason):
     print(json.dumps({
         'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
@@ -244,9 +248,15 @@ def _child(tile):
     # chained serving pattern (models/inference.py fuse_chunks): K batch-1
     # tiles inside ONE dispatch via lax.map — bit-identical outputs,
     # amortizes the relay's per-dispatch overhead and sidesteps the
-    # measured batch>1 per-pixel regression (NOTES_ROUND3.md).
+    # measured batch>1 per-pixel regression (NOTES_ROUND3.md). Only at the
+    # headline tile: the fallback tiles don't need it, and skipping their
+    # chain compiles removes two kill-a-compile-in-flight risks per run
+    # (the 2026-08-17 bench_chain run lost the 128/256 children to chain
+    # compiles exceeding their budget caps).
     K = 8
     try:
+        if tile != 512:
+            raise _SkipChain
         @jax.jit
         def forward_chain(params, xs):
             return jnp.sum(jax.lax.map(
@@ -267,6 +277,8 @@ def _child(tile):
         if mps > best_mps:
             best_mps, best_desc = mps, f'chained x{K} lax.map dispatch'
             emit(best_mps, best_desc)
+    except _SkipChain:
+        pass
     except Exception as e:
         print(f'# chain attempt failed: {type(e).__name__}', flush=True)
 

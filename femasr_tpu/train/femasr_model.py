@@ -549,9 +549,21 @@ class FeMaSRModel(BaseModel):
         _build_train_step.
         """
         k = len(batch_list)
-        gt_stack = jnp.stack([b['gt'] for b in batch_list])
+
+        def stack(key):
+            arrs = [b[key] for b in batch_list]
+            if any(isinstance(a, jax.Array) for a in arrs):
+                return jnp.stack(arrs)   # device-resident (prefetched) path
+            # host batches: stack in numpy and ship ONE transfer — the
+            # relay's H2D latency is ~0.5-1 s per device_put regardless of
+            # size (measured 2026-08-17), so 2K small implicit transfers
+            # cost ~16 s per chained dispatch vs ~1 s for one bulk put
+            import numpy as _np
+            return jnp.asarray(_np.stack(arrs))
+
+        gt_stack = stack('gt')
         if batch_list[0].get('lq') is not None:
-            lq_stack = jnp.stack([b['lq'] for b in batch_list])
+            lq_stack = stack('lq')
         else:
             lq_stack = jnp.zeros((k, 1), jnp.float32)
         if self.mesh is not None and self.mesh.devices.size > 1:

@@ -80,6 +80,12 @@ AGENDA = [
     ('batch2_swin_dec_vq', [PY, 'scripts/batch2_probe.py', '512',
                             '--segments', 'swin,decoder,vq'], 600, None,
      False),
+    # device-data train step WITHOUT the on-device degradation pipeline:
+    # isolates degradation's share of the 2%-MFU step (2.2 s/step)
+    ('train_nodeg_dev', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                         '--batch', '8', '--dtype', 'bfloat16', '--chain',
+                         '8', '--iters', '16', '--device-data',
+                         '--no-degrade'], 600, None, False),
     ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
     ('int8_swin_full', [PY, 'scripts/perf_probe.py', '512', '1',
                         '--int8-swin'], 600, None, False),

@@ -37,6 +37,10 @@ def main():
                          '(the 18 s/step train_chain8 anomaly suspect)')
     ap.add_argument('--h2d', action='store_true',
                     help='measure raw host->device bandwidth first')
+    ap.add_argument('--no-degrade', action='store_true',
+                    help='feed precomputed lq instead of the on-device '
+                         'BSRGAN pipeline — isolates the degradation '
+                         'share of the step cost')
     args = ap.parse_args()
 
     import jax
@@ -69,7 +73,7 @@ datasets:
     phase: train
     scale: 4
     gt_size: {args.gt}
-    on_device_degradation: {str(not args.hq).lower()}
+    on_device_degradation: {str(not args.hq and not args.no_degrade).lower()}
 network_g:
   type: FeMaSRNet
   gt_resolution: 256
@@ -146,7 +150,8 @@ logger: {{print_freq: 1, use_tb_logger: false}}
             return {'lq': rng.random((args.batch, lq, lq, 3), np.float32),
                     'gt': rng.random((args.batch, gt, gt, 3), np.float32)}
 
-    stage = 'HQ' if args.hq else 'LQ-ondevice'
+    stage = 'HQ' if args.hq else (
+        'LQ-fedlq' if args.no_degrade else 'LQ-ondevice')
     if args.device_data:
         stage += ' device-data'
 

@@ -58,19 +58,6 @@ AGENDA = [
     # pack2/int8/s2d all failed to beat plain bf16 wall-clock.
     ('bench_chain', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
-    # 6. train_chain8 measured a catastrophic 18.1 s/step (0.5 TFLOP/s) in
-    # the same window where inference ran at 40 TFLOP/s. Suspect: 50 MB of
-    # host batches H2D'd through the relay per chained dispatch, fully
-    # serialized. device-data reuses the ALREADY-CACHED chained program
-    # with on-device synthetic batches (no compile, pure compute number)
-    # and --h2d measures the raw relay H2D bandwidth for attribution.
-    ('train_chain8_dev', [PY, 'scripts/train_step_probe.py', '--gt', '256',
-                          '--batch', '8', '--dtype', 'bfloat16', '--chain',
-                          '8', '--iters', '16', '--device-data', '--h2d'],
-     600, None, False),
-    ('train_chain1', [PY, 'scripts/train_step_probe.py', '--gt', '256',
-                      '--batch', '8', '--dtype', 'bfloat16',
-                      '--iters', '6'], 600, None, False),
     # 7+. attribution / diagnosis, in decreasing value
     ('pack2_noshift_full', [PY, 'scripts/perf_probe.py', '512', '1',
                             '--pack', '2', '--no-pack-shifted'], 600, None,
@@ -87,6 +74,11 @@ AGENDA = [
                          '8', '--iters', '16', '--device-data',
                          '--no-degrade'], 600, None, False),
     ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
+    # unchained-vs-chained per-step comparison (H2D story already
+    # explained the 18 s anomaly; this is now low-priority attribution)
+    ('train_chain1', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                      '--batch', '8', '--dtype', 'bfloat16',
+                      '--iters', '6'], 600, None, False),
     ('int8_swin_full', [PY, 'scripts/perf_probe.py', '512', '1',
                         '--int8-swin'], 600, None, False),
     ('int8_tail_full', [PY, 'scripts/perf_probe.py', '512', '1',

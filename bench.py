@@ -219,6 +219,11 @@ def _child(tile):
                 cost = compiled.cost_analysis()
                 if cost and 'flops' in cost:
                     flops_per_tile = float(cost['flops']) / batch
+                if cost and 'bytes accessed' in cost:
+                    b = float(cost['bytes accessed'])
+                    print(f'# bytes accessed (TPU HLO): {b / 1e9:.2f} GB '
+                          f'-> HBM roofline {b / 819e9 * 1e3:.1f} ms',
+                          flush=True)
             xs = [jax.random.uniform(jax.random.PRNGKey(100 + i),
                                      (batch, tile, tile, 3), jnp.bfloat16)
                   for i in range(N_ITER)]

@@ -75,6 +75,11 @@ def main():
     cost = compiled.cost_analysis()
     if cost and 'flops' in cost:
         print(f'flops: {float(cost["flops"]) / 1e12:.3f} TFLOP', flush=True)
+    if cost and 'bytes accessed' in cost:
+        # TPU-optimized HLO traffic: decides MXU- vs HBM-bound (819 GB/s)
+        b = float(cost['bytes accessed'])
+        print(f'bytes accessed: {b / 1e9:.2f} GB -> HBM roofline '
+              f'{b / 819e9 * 1e3:.1f} ms', flush=True)
     if args.compile_only:
         return
 

@@ -62,11 +62,13 @@ AGENDA = [
     ('pack2_noshift_full', [PY, 'scripts/perf_probe.py', '512', '1',
                             '--pack', '2', '--no-pack-shifted'], 600, None,
      False),
-    ('fused_full', [PY, 'scripts/perf_probe.py', '512', '1', '--fused'],
-     600, None, False),
     ('batch2_swin_dec_vq', [PY, 'scripts/batch2_probe.py', '512',
                             '--segments', 'swin,decoder,vq'], 600, None,
      False),
+    # all-cached bench rerun: now prints the TPU program's own
+    # 'bytes accessed' (HBM-bound hypothesis test) + refreshes headline
+    ('bench_bytes', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
     # device-data train step WITHOUT the on-device degradation pipeline:
     # isolates degradation's share of the 2%-MFU step (2.2 s/step)
     ('train_nodeg_dev', [PY, 'scripts/train_step_probe.py', '--gt', '256',
@@ -89,6 +91,10 @@ AGENDA = [
                          '--int8', '--int8-levels', '3'], 600, None, False),
     ('int8_max', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
                   '--int8-levels', '3', '--int8-enc-up'], 600, None, False),
+    # fused_full: first attempt stalled its compile 600 s (14:24) —
+    # demoted; retries only after everything else
+    ('fused_full', [PY, 'scripts/perf_probe.py', '512', '1', '--fused'],
+     600, None, False),
     ('s2d_align1', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
      600, None, False),
     # bench_warm repeats until the round ends so the LAST completed run

@@ -47,12 +47,24 @@ class GroupNorm(nn.Module):
         # A per-group shift (one sampled element) centers the pass so
         # E[d^2]-E[d]^2 cannot catastrophically cancel when |mean| >> std;
         # the shifted form stays a single fused read of the activation.
-        xg = x.reshape(b, -1, g, c // g)
-        xf = xg.astype(jnp.float32)
-        shift = jax.lax.stop_gradient(xf[:, 0, :, 0])      # (B, G)
-        d = xf - shift[:, None, :, None]
-        dmean = d.mean(axis=(1, 3))                        # (B, G)
-        dmean2 = jnp.square(d).mean(axis=(1, 3))           # (B, G)
+        #
+        # Two-level reduction, channel-last: spatial means per CHANNEL
+        # first — the reduced operand keeps C in the minor (lane) dim — then
+        # fold the tiny (B, C) result into groups. A direct
+        # (B, HW, G, C/G) reshape puts C/G in the lane dim (C/G = 2 at the
+        # C=64 decoder tail -> 64x tile-padding waste if XLA materializes
+        # any of the pass); equal counts per channel keep mean-of-means
+        # exact. Same structure as GroupNormS2D below.
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        shift = jax.lax.stop_gradient(
+            xf.reshape(b, -1, c)[:, 0].reshape(b, g, c // g)[:, :, 0])  # (B, G)
+        shift_c = jnp.repeat(shift, c // g, axis=1)        # (B, C)
+        d = xf - shift_c.reshape((b,) + (1,) * (x.ndim - 2) + (c,))
+        m1 = d.mean(axis=spatial_axes)                     # (B, C)
+        m2 = jnp.square(d).mean(axis=spatial_axes)         # (B, C)
+        dmean = m1.reshape(b, g, c // g).mean(axis=-1)     # (B, G)
+        dmean2 = m2.reshape(b, g, c // g).mean(axis=-1)    # (B, G)
         mean = shift + dmean
         var = jnp.maximum(dmean2 - jnp.square(dmean), 0.0)
         inv = jax.lax.rsqrt(var + self.eps)                # (B, G)

@@ -33,6 +33,28 @@ PY = sys.executable
 # decision-making levers first (each directly changes the shipped default
 # or produces a VERDICT done-criterion number), attribution/diagnosis after.
 AGENDA = [
+    # --- round-3 session-2 priorities -------------------------------------
+    # The serving program runs at ~94% of HBM roofline (bench_bytes:
+    # 171.6 GB -> 209.6 ms vs 224 ms healthy) — bytes are wall-clock.
+    # gn_fix: GroupNorm stats now reduce channel-last (the old
+    # (B,HW,G,C/G) reshape put C/G=2 in the lane dim at the C=64 tail —
+    # 64x tile padding if materialized; prime suspect for the decoder
+    # segment running 2x its CPU-estimated byte budget AND for the
+    # batch-2 decoder regression). NEW program: compile 2-4 min degraded.
+    ('gn_fix_full', [PY, 'scripts/perf_probe.py', '512', '1'], 900, None,
+     False),
+    # per-instruction TPU traffic attribution (cache-warm after
+    # gn_fix_full: same program, compile-only)
+    ('hlo_bytes_tpu', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',
+                       '--scope-depth', '4'], 900, None, False),
+    # batch-2 program attribution (the decoder 1.69x per-pixel anomaly)
+    ('hlo_bytes_b2', [PY, 'scripts/hlo_bytes.py', '512', '2', '--top',
+                      '30', '--scope-depth', '4'], 900, None, False),
+    # static byte comparison of the fused-upsample variant before
+    # spending a window measuring it
+    ('hlo_bytes_fused', [PY, 'scripts/hlo_bytes.py', '512', '--fused',
+                         '--top', '20'], 900, None, False),
+    # ----------------------------------------------------------------------
     ('bench', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
     ('batch2_full_enc', [PY, 'scripts/batch2_probe.py', '512',
@@ -81,21 +103,12 @@ AGENDA = [
     ('train_chain1', [PY, 'scripts/train_step_probe.py', '--gt', '256',
                       '--batch', '8', '--dtype', 'bfloat16',
                       '--iters', '6'], 600, None, False),
-    ('int8_swin_full', [PY, 'scripts/perf_probe.py', '512', '1',
-                        '--int8-swin'], 600, None, False),
-    ('int8_tail_full', [PY, 'scripts/perf_probe.py', '512', '1',
-                        '--int8'], 600, None, False),
-    ('pack_swin_seg', [PY, 'scripts/segment_probe.py', '512', '--swin-only',
-                       '--pack', '2'], 400, None, False),
-    ('int8_all_levels', [PY, 'scripts/perf_probe.py', '512', '1',
-                         '--int8', '--int8-levels', '3'], 600, None, False),
-    ('int8_max', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
-                  '--int8-levels', '3', '--int8-enc-up'], 600, None, False),
+    # (int8 sub-variant phases removed: int8_everything already measured
+    # the combination LOSING by 6.6% — VERDICT #7 answered no-go;
+    # pack_swin_seg removed: attn_pack contradiction closed in window 5)
     # fused_full: first attempt stalled its compile 600 s (14:24) —
     # demoted; retries only after everything else
     ('fused_full', [PY, 'scripts/perf_probe.py', '512', '1', '--fused'],
-     600, None, False),
-    ('s2d_align1', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
      600, None, False),
     # bench_warm repeats until the round ends so the LAST completed run
     # always left warm caches + a fresh honest number in the log

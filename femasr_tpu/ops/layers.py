@@ -19,6 +19,28 @@ from flax import linen as nn
 Dtype = Any
 
 
+def fused_moments(d: jax.Array, axes: Tuple[int, ...]):
+    """Per-remaining-dim means of d and d^2 in ONE variadic HLO reduce.
+
+    Two separate jnp.mean calls lower to two reduce ops; whether they
+    multi-output-fuse back into a single pass over the operand is an XLA
+    heuristic (CPU HLO shows them materializing the sub/square producers
+    as full f32 tensors — catastrophic at the 0.5-1 GB decoder-tail
+    activations). A single variadic reduce makes the one-pass structure
+    explicit: both sums stream from one read of d, with the elementwise
+    producers (cast/shift/square) fused into the reduce. Differentiable
+    (verified: JAX derives the add-monoid transpose).
+    """
+    n = 1
+    for a in axes:
+        n *= d.shape[a]
+    zero = jnp.zeros((), d.dtype)
+    s1, s2 = jax.lax.reduce((d, d * d), (zero, zero),
+                            lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                            tuple(axes))
+    return s1 / n, s2 / n
+
+
 class GroupNorm(nn.Module):
     """GroupNorm over NHWC with float32 statistics.
 
@@ -39,32 +61,46 @@ class GroupNorm(nn.Module):
 
         b = x.shape[0]
         g = self.num_groups
-        # statistics in f32 (bf16-safe). E[x] and E[x^2] are sibling
-        # reductions over the same operand, so XLA multi-output-fuses them
-        # into ONE pass over the activation (jnp.var would serialize a mean
-        # pass then a squared-deviation pass — 2x the HBM reads, which
-        # dominates at the decoder tail where activations reach 0.5-1 GB).
-        # A per-group shift (one sampled element) centers the pass so
-        # E[d^2]-E[d]^2 cannot catastrophically cancel when |mean| >> std;
-        # the shifted form stays a single fused read of the activation.
+        # statistics in f32 (bf16-safe), computed in a single pass over the
+        # activation (the decoder-tail activations reach 0.5-1 GB — the
+        # stats pass IS the cost of this layer). A per-group shift (one
+        # sampled element) centers the pass so E[d^2]-E[d]^2 cannot
+        # catastrophically cancel when |mean| >> std.
         #
-        # Two-level reduction, channel-last: spatial means per CHANNEL
-        # first — the reduced operand keeps C in the minor (lane) dim — then
-        # fold the tiny (B, C) result into groups. A direct
-        # (B, HW, G, C/G) reshape puts C/G in the lane dim (C/G = 2 at the
-        # C=64 decoder tail -> 64x tile-padding waste if XLA materializes
-        # any of the pass); equal counts per channel keep mean-of-means
-        # exact. Same structure as GroupNormS2D below.
-        spatial_axes = tuple(range(1, x.ndim - 1))
+        # The reduction STRUCTURE is surprisingly consequential on TPU and
+        # is selectable via FEMASR_GN_IMPL for compile-only byte probes
+        # (scripts/perf_probe.py --compile-only prints the compiled
+        # program's 'bytes accessed'; measured 2026-08-17 on v5e at 512px):
+        #   grouped   — (B, HW, G, C/G) reshape, joint mean over (HW, C/G);
+        #               171.6 GB full-graph (round-2/3 baseline)
+        #   chanlast  — spatial means per channel (C stays in the lane
+        #               dim), then fold (B, C) into groups; 195.4 GB (!)
+        #   *_fused   — same but both moments in ONE variadic lax.reduce
+        # Equal counts per channel keep the mean-of-means forms exact.
+        impl = os.environ.get('FEMASR_GN_IMPL', 'grouped')
         xf = x.astype(jnp.float32)
-        shift = jax.lax.stop_gradient(
-            xf.reshape(b, -1, c)[:, 0].reshape(b, g, c // g)[:, :, 0])  # (B, G)
-        shift_c = jnp.repeat(shift, c // g, axis=1)        # (B, C)
-        d = xf - shift_c.reshape((b,) + (1,) * (x.ndim - 2) + (c,))
-        m1 = d.mean(axis=spatial_axes)                     # (B, C)
-        m2 = jnp.square(d).mean(axis=spatial_axes)         # (B, C)
-        dmean = m1.reshape(b, g, c // g).mean(axis=-1)     # (B, G)
-        dmean2 = m2.reshape(b, g, c // g).mean(axis=-1)    # (B, G)
+        if impl.startswith('chanlast'):
+            spatial_axes = tuple(range(1, x.ndim - 1))
+            shift = jax.lax.stop_gradient(
+                xf.reshape(b, -1, c)[:, 0].reshape(b, g, c // g)[:, :, 0])
+            shift_c = jnp.repeat(shift, c // g, axis=1)        # (B, C)
+            d = xf - shift_c.reshape((b,) + (1,) * (x.ndim - 2) + (c,))
+            if impl.endswith('_fused'):
+                m1, m2 = fused_moments(d, spatial_axes)        # (B, C)
+            else:
+                m1 = d.mean(axis=spatial_axes)
+                m2 = jnp.square(d).mean(axis=spatial_axes)
+            dmean = m1.reshape(b, g, c // g).mean(axis=-1)     # (B, G)
+            dmean2 = m2.reshape(b, g, c // g).mean(axis=-1)    # (B, G)
+        else:
+            xg = xf.reshape(b, -1, g, c // g)
+            shift = jax.lax.stop_gradient(xg[:, 0, :, 0])      # (B, G)
+            d = xg - shift[:, None, :, None]
+            if impl.endswith('_fused'):
+                dmean, dmean2 = fused_moments(d, (1, 3))       # (B, G)
+            else:
+                dmean = d.mean(axis=(1, 3))
+                dmean2 = jnp.square(d).mean(axis=(1, 3))
         mean = shift + dmean
         var = jnp.maximum(dmean2 - jnp.square(dmean), 0.0)
         inv = jax.lax.rsqrt(var + self.eps)                # (B, G)
@@ -505,8 +541,7 @@ class GroupNormS2D(nn.Module):
             flat0.reshape(b, 4, g, c // g)[:, 0, :, 0])         # (B, G)
         shift_c = jnp.tile(jnp.repeat(shift, c // g, axis=1), (1, 4))
         d = xf - shift_c.reshape((b,) + (1,) * (x.ndim - 2) + (c4,))
-        m1 = d.mean(axis=tuple(range(1, x.ndim - 1)))           # (B, 4C)
-        m2 = jnp.square(d).mean(axis=tuple(range(1, x.ndim - 1)))
+        m1, m2 = fused_moments(d, tuple(range(1, x.ndim - 1)))  # (B, 4C)
         dmean = m1.reshape(b, 4, g, c // g).mean(axis=(1, 3))   # (B, G)
         dmean2 = m2.reshape(b, 4, g, c // g).mean(axis=(1, 3))
         mean = shift + dmean

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Compile-only byte A/B over GroupNorm stats implementations.
+
+The 512px serving program runs at ~94% of HBM roofline, so the compiled
+program's 'bytes accessed' predicts wall-clock without executing anything
+— each variant costs one remote compile (cached thereafter), no dispatch.
+Measured context (NOTES_ROUND3.md): grouped=171.6 GB, chanlast=195.4 GB.
+
+Usage: timeout 880 python scripts/gn_ab_probe.py [TILE] [--impls a,b,c]
+"""
+import argparse
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('tile', type=int, default=512, nargs='?')
+    ap.add_argument('--impls',
+                    default='grouped_fused,chanlast_fused,grouped,chanlast')
+    args = ap.parse_args()
+
+    import jax
+    cache_dir = os.path.expanduser('~/.cache/femasr_tpu/jax_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    import jax.numpy as jnp
+    from femasr_tpu.models import FeMaSRNet
+
+    t = args.tile
+    for impl in args.impls.split(','):
+        os.environ['FEMASR_GN_IMPL'] = impl
+        model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
+                          scale_factor=4, norm_type='gn', act_type='silu',
+                          dtype=jnp.bfloat16)
+        params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, t, t, 3), jnp.bfloat16))['params']
+        params = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), params)
+
+        def forward(params, x):
+            out, _, _, _ = model.apply({'params': params}, x)
+            return jnp.sum(out.astype(jnp.float32))
+
+        t0 = time.perf_counter()
+        c = jax.jit(forward).lower(
+            params, jnp.zeros((1, t, t, 3), jnp.bfloat16)).compile()
+        ca = c.cost_analysis() or {}
+        b = float(ca.get('bytes accessed', 0))
+        print(f'{impl:16s} compile {time.perf_counter() - t0:6.1f}s  '
+              f'{b / 1e9:7.2f} GB -> HBM roofline {b / 819e9 * 1e3:6.1f} ms',
+              flush=True)
+
+
+if __name__ == '__main__':
+    main()

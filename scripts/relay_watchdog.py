@@ -43,8 +43,12 @@ AGENDA = [
     # batch-2 decoder regression). NEW program: compile 2-4 min degraded.
     ('gn_fix_full', [PY, 'scripts/perf_probe.py', '512', '1'], 900, None,
      False),
-    # per-instruction TPU traffic attribution (cache-warm after
-    # gn_fix_full: same program, compile-only)
+    # RESULT 15:17: chanlast GN = 195.4 GB vs grouped 171.6 — reverted to
+    # grouped default; compile-only byte A/B over all four stat forms
+    # decides (fused variadic-reduce variants are the new candidates)
+    ('gn_ab', [PY, 'scripts/gn_ab_probe.py', '512'], 880, None, False),
+    # per-instruction TPU traffic attribution (grouped program is
+    # cache-warm: compile-only, fast)
     ('hlo_bytes_tpu', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',
                        '--scope-depth', '4'], 900, None, False),
     # batch-2 program attribution (the decoder 1.69x per-pixel anomaly)
@@ -92,11 +96,14 @@ AGENDA = [
     ('bench_bytes', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
     # device-data train step WITHOUT the on-device degradation pipeline:
-    # isolates degradation's share of the 2%-MFU step (2.2 s/step)
-    ('train_nodeg_dev', [PY, 'scripts/train_step_probe.py', '--gt', '256',
-                         '--batch', '8', '--dtype', 'bfloat16', '--chain',
-                         '8', '--iters', '16', '--device-data',
-                         '--no-degrade'], 600, None, False),
+    # isolates degradation's share of the 2%-MFU step (2.2 s/step).
+    # First run (15:02) was contaminated by a co-running pytest (started
+    # seconds after the phase launched — the guard only checks at phase
+    # START); requeued, now also prints the step program's bytes accessed
+    ('train_nodeg_dev2', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                          '--batch', '8', '--dtype', 'bfloat16', '--chain',
+                          '8', '--iters', '16', '--device-data',
+                          '--no-degrade'], 600, None, False),
     ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
     # unchained-vs-chained per-step comparison (H2D story already
     # explained the 18 s anomaly; this is now low-priority attribution)

@@ -164,7 +164,9 @@ logger: {{print_freq: 1, use_tb_logger: false}}
         log = model.get_current_log()
         print(f'compile+chain1({k} steps): {time.perf_counter() - t0:.1f}s '
               f'l_g_total={log["l_g_total"]:.3f}', flush=True)
-        # per-step FLOPs from the single-step program's cost analysis
+        # per-step FLOPs + HBM bytes from the single-step program's cost
+        # analysis: decides whether the step is MXU-, HBM- or
+        # dispatch-bound (the 2%-MFU question, NOTES_ROUND3.md)
         flops = None
         try:
             import jax.numpy as jnp
@@ -175,6 +177,11 @@ logger: {{print_freq: 1, use_tb_logger: false}}
             ca = c.cost_analysis()
             if ca and 'flops' in ca:
                 flops = float(ca['flops'])
+            if ca and 'bytes accessed' in ca:
+                byts = float(ca['bytes accessed'])
+                print(f'step program: {byts / 1e9:.2f} GB accessed -> '
+                      f'HBM roofline {byts / 819e9 * 1e3:.1f} ms/step',
+                      flush=True)
         except Exception as e:
             print(f'(cost analysis unavailable: {e})', flush=True)
         n_chains = max(1, args.iters // k)

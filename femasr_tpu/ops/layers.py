@@ -19,28 +19,6 @@ from flax import linen as nn
 Dtype = Any
 
 
-def fused_moments(d: jax.Array, axes: Tuple[int, ...]):
-    """Per-remaining-dim means of d and d^2 in ONE variadic HLO reduce.
-
-    Two separate jnp.mean calls lower to two reduce ops; whether they
-    multi-output-fuse back into a single pass over the operand is an XLA
-    heuristic (CPU HLO shows them materializing the sub/square producers
-    as full f32 tensors — catastrophic at the 0.5-1 GB decoder-tail
-    activations). A single variadic reduce makes the one-pass structure
-    explicit: both sums stream from one read of d, with the elementwise
-    producers (cast/shift/square) fused into the reduce. Differentiable
-    (verified: JAX derives the add-monoid transpose).
-    """
-    n = 1
-    for a in axes:
-        n *= d.shape[a]
-    zero = jnp.zeros((), d.dtype)
-    s1, s2 = jax.lax.reduce((d, d * d), (zero, zero),
-                            lambda a, b: (a[0] + b[0], a[1] + b[1]),
-                            tuple(axes))
-    return s1 / n, s2 / n
-
-
 class GroupNorm(nn.Module):
     """GroupNorm over NHWC with float32 statistics.
 
@@ -61,46 +39,63 @@ class GroupNorm(nn.Module):
 
         b = x.shape[0]
         g = self.num_groups
-        # statistics in f32 (bf16-safe), computed in a single pass over the
-        # activation (the decoder-tail activations reach 0.5-1 GB — the
-        # stats pass IS the cost of this layer). A per-group shift (one
-        # sampled element) centers the pass so E[d^2]-E[d]^2 cannot
-        # catastrophically cancel when |mean| >> std.
+        # statistics in f32 (bf16-safe), in as few passes over the
+        # activation as XLA will fuse (decoder-tail activations reach
+        # 0.5-1 GB — the stats pass IS the cost of this layer). A
+        # per-group sampled shift centers the pass so E[d^2]-E[d]^2
+        # cannot catastrophically cancel when |mean| >> std.
         #
-        # The reduction STRUCTURE is surprisingly consequential on TPU and
-        # is selectable via FEMASR_GN_IMPL for compile-only byte probes
-        # (scripts/perf_probe.py --compile-only prints the compiled
-        # program's 'bytes accessed'; measured 2026-08-17 on v5e at 512px):
-        #   grouped   — (B, HW, G, C/G) reshape, joint mean over (HW, C/G);
-        #               171.6 GB full-graph (round-2/3 baseline)
-        #   chanlast  — spatial means per channel (C stays in the lane
-        #               dim), then fold (B, C) into groups; 195.4 GB (!)
-        #   *_fused   — same but both moments in ONE variadic lax.reduce
+        # The reduction STRUCTURE is surprisingly consequential on TPU.
+        # Byte A/B on the full 512px serving program (v5e, compiled HLO
+        # 'bytes accessed', 2026-08-17 — scripts/gn_ab_probe.py):
+        #   grouped   171.6 GB — reshape the BF16 tensor to (B,HW,G,C/G)
+        #             first, cast to f32 inside the reduce fusion. The
+        #             f32-cast-first ordering costs +39 GB (210.8 GB):
+        #             XLA materializes the cast and relayouts it at f32
+        #             width (copy+slice+reshape chains, ~10 GB per tail
+        #             norm in the per-op attribution).
+        #   chanlast  195.4 GB — per-channel spatial means (no reshape of
+        #             the big tensor) then fold (B,C) into groups; the
+        #             shift subtraction materializes as a full f32 d.
+        #   variadic lax.reduce of (d, d*d): catastrophic on chanlast
+        #             (+110 GB — BOTH operands materialize); removed.
+        #   chanraw   (candidate) — chanlast without the shift: sibling
+        #             reduces of x and x*x stream straight from the bf16
+        #             conv-layout tensor, nothing new materializes.
         # Equal counts per channel keep the mean-of-means forms exact.
         impl = os.environ.get('FEMASR_GN_IMPL', 'grouped')
-        xf = x.astype(jnp.float32)
-        if impl.startswith('chanlast'):
+        if impl == 'chanraw':
+            # raw per-channel moments, no shift: minimum-traffic form.
+            # f32 accumulation over bf16 values; the E[x^2]-E[x]^2
+            # subtraction can cancel when |mean| >> std (clamped below) —
+            # the regime is not hit by post-conv activations in practice
+            # (ADVICE.md round-2 rated it low), but 'grouped' remains the
+            # cancellation-safe default until this wins on hardware.
             spatial_axes = tuple(range(1, x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            m1 = xf.mean(axis=spatial_axes)                    # (B, C)
+            m2 = jnp.square(xf).mean(axis=spatial_axes)        # (B, C)
+            shift = jnp.zeros((b, g), jnp.float32)
+            dmean = m1.reshape(b, g, c // g).mean(axis=-1)     # (B, G)
+            dmean2 = m2.reshape(b, g, c // g).mean(axis=-1)    # (B, G)
+        elif impl == 'chanlast':
+            spatial_axes = tuple(range(1, x.ndim - 1))
+            xf = x.astype(jnp.float32)
             shift = jax.lax.stop_gradient(
                 xf.reshape(b, -1, c)[:, 0].reshape(b, g, c // g)[:, :, 0])
             shift_c = jnp.repeat(shift, c // g, axis=1)        # (B, C)
             d = xf - shift_c.reshape((b,) + (1,) * (x.ndim - 2) + (c,))
-            if impl.endswith('_fused'):
-                m1, m2 = fused_moments(d, spatial_axes)        # (B, C)
-            else:
-                m1 = d.mean(axis=spatial_axes)
-                m2 = jnp.square(d).mean(axis=spatial_axes)
+            m1 = d.mean(axis=spatial_axes)
+            m2 = jnp.square(d).mean(axis=spatial_axes)
             dmean = m1.reshape(b, g, c // g).mean(axis=-1)     # (B, G)
             dmean2 = m2.reshape(b, g, c // g).mean(axis=-1)    # (B, G)
-        else:
-            xg = xf.reshape(b, -1, g, c // g)
-            shift = jax.lax.stop_gradient(xg[:, 0, :, 0])      # (B, G)
-            d = xg - shift[:, None, :, None]
-            if impl.endswith('_fused'):
-                dmean, dmean2 = fused_moments(d, (1, 3))       # (B, G)
-            else:
-                dmean = d.mean(axis=(1, 3))
-                dmean2 = jnp.square(d).mean(axis=(1, 3))
+        else:  # grouped (default): reshape bf16 FIRST, cast inside reduce
+            xg = x.reshape(b, -1, g, c // g)
+            xf = xg.astype(jnp.float32)
+            shift = jax.lax.stop_gradient(xf[:, 0, :, 0])      # (B, G)
+            d = xf - shift[:, None, :, None]
+            dmean = d.mean(axis=(1, 3))                        # (B, G)
+            dmean2 = jnp.square(d).mean(axis=(1, 3))
         mean = shift + dmean
         var = jnp.maximum(dmean2 - jnp.square(dmean), 0.0)
         inv = jax.lax.rsqrt(var + self.eps)                # (B, G)
@@ -541,7 +536,8 @@ class GroupNormS2D(nn.Module):
             flat0.reshape(b, 4, g, c // g)[:, 0, :, 0])         # (B, G)
         shift_c = jnp.tile(jnp.repeat(shift, c // g, axis=1), (1, 4))
         d = xf - shift_c.reshape((b,) + (1,) * (x.ndim - 2) + (c4,))
-        m1, m2 = fused_moments(d, tuple(range(1, x.ndim - 1)))  # (B, 4C)
+        m1 = d.mean(axis=tuple(range(1, x.ndim - 1)))           # (B, 4C)
+        m2 = jnp.square(d).mean(axis=tuple(range(1, x.ndim - 1)))
         dmean = m1.reshape(b, 4, g, c // g).mean(axis=(1, 3))   # (B, G)
         dmean2 = m2.reshape(b, 4, g, c // g).mean(axis=(1, 3))
         mean = shift + dmean

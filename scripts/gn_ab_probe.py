@@ -20,8 +20,7 @@ sys.path.insert(0, HERE)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('tile', type=int, default=512, nargs='?')
-    ap.add_argument('--impls',
-                    default='grouped_fused,chanlast_fused,grouped,chanlast')
+    ap.add_argument('--impls', default='grouped,chanraw')
     args = ap.parse_args()
 
     import jax

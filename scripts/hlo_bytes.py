@@ -120,7 +120,7 @@ def fusion_metadata(hlo):
     return meta
 
 
-def analyze(hlo, top_n=40, scope_depth=3):
+def analyze(hlo, top_n=40, scope_depth=3, scope_filter=None):
     # ENTRY computation: from 'ENTRY' to the closing brace at column 0
     m = re.search(r'^ENTRY [^\n]*\{$(.*?)^\}', hlo, re.M | re.S)
     body = m.group(1) if m else hlo
@@ -157,6 +157,8 @@ def analyze(hlo, top_n=40, scope_depth=3):
             if mcall:
                 op_name = fmeta.get(mcall.group(1))
         op_name = op_name or '(no-metadata)'
+        if scope_filter and scope_filter not in op_name:
+            continue
         rows.append((ib + ob, ob, ib, opcode, name, shape_s.strip(),
                      op_name))
 
@@ -197,6 +199,9 @@ def main():
     ap.add_argument('--top', type=int, default=40)
     ap.add_argument('--scope-depth', type=int, default=3)
     ap.add_argument('--dump', help='also write the HLO text here')
+    ap.add_argument('--filter', default=None,
+                    help='only attribute instructions whose op_name '
+                         'contains this substring (e.g. blocks_1)')
     args = ap.parse_args()
 
     import jax
@@ -232,7 +237,7 @@ def main():
     if args.dump:
         with open(args.dump, 'w') as f:
             f.write(hlo)
-    analyze(hlo, args.top, args.scope_depth)
+    analyze(hlo, args.top, args.scope_depth, args.filter)
 
 
 if __name__ == '__main__':

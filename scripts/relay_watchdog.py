@@ -47,10 +47,23 @@ AGENDA = [
     # grouped default; compile-only byte A/B over all four stat forms
     # decides (fused variadic-reduce variants are the new candidates)
     ('gn_ab', [PY, 'scripts/gn_ab_probe.py', '512'], 880, None, False),
+    # gn_ab RESULT 15:44 (perf_probe program family): grouped(f32-cast-
+    # first) 210.8, grouped_fused 203.3, chanlast 195.4, chanlast_fused
+    # 305.8 (variadic reduce materializes both operands — removed).
+    # Fixes landed: grouped restored to bench's bf16-reshape-first
+    # ordering (171.6 GB); new 'chanraw' = shift-free channel-last
+    # sibling reduces straight off the conv-layout bf16 tensor — the
+    # minimum-traffic form. This A/B decides the default.
+    ('gn_ab2', [PY, 'scripts/gn_ab_probe.py', '512'], 880, None, False),
     # per-instruction TPU traffic attribution (grouped program is
     # cache-warm: compile-only, fast)
     ('hlo_bytes_tpu', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',
                        '--scope-depth', '4'], 900, None, False),
+    # swin is HBM-bound too (55.8 GB / 24 blocks ≈ 2.3 GB per 17 MB-
+    # activation block — 4-5x bloat): deep attribution inside blocks_1
+    ('hlo_bytes_swin', [PY, 'scripts/hlo_bytes.py', '512', '--top', '30',
+                        '--scope-depth', '8', '--filter', 'blocks_1'],
+     900, None, False),
     # batch-2 program attribution (the decoder 1.69x per-pixel anomaly)
     ('hlo_bytes_b2', [PY, 'scripts/hlo_bytes.py', '512', '2', '--top',
                       '30', '--scope-depth', '4'], 900, None, False),

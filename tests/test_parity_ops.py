@@ -44,6 +44,17 @@ def test_groupnorm_parity():
     out = gn.apply(params, jnp.asarray(to_nhwc(x)))
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
+    # every FEMASR_GN_IMPL reduction structure computes the same norm
+    # (they differ only in TPU byte traffic — see ops/layers.py)
+    import os
+    for impl in ('chanraw', 'chanlast'):
+        os.environ['FEMASR_GN_IMPL'] = impl
+        try:
+            out_i = gn.apply(params, jnp.asarray(to_nhwc(x)))
+        finally:
+            os.environ.pop('FEMASR_GN_IMPL', None)
+        np.testing.assert_allclose(out_i, ref, atol=2e-5, err_msg=impl)
+
 
 @pytest.mark.parametrize('act_type', ['silu', 'leakyrelu', 'prelu', 'gelu'])
 def test_resblock_parity(act_type):

@@ -59,18 +59,25 @@ AGENDA = [
     # cache-warm: compile-only, fast)
     ('hlo_bytes_tpu', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',
                        '--scope-depth', '4'], 900, None, False),
-    # swin is HBM-bound too (55.8 GB / 24 blocks ≈ 2.3 GB per 17 MB-
-    # activation block — 4-5x bloat): deep attribution inside blocks_1
-    ('hlo_bytes_swin', [PY, 'scripts/hlo_bytes.py', '512', '--top', '30',
-                        '--scope-depth', '8', '--filter', 'blocks_1'],
-     900, None, False),
+    # re-attribution of the RESTORED 171.6 GB program (hlo_bytes_tpu ran
+    # against the 210.8 GB bad-ordering build) + full HLO dump for
+    # offline analysis
+    ('hlo_bytes_tpu2', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',
+                        '--scope-depth', '4',
+                        '--dump', '/tmp/hlo_tpu_512_b1.txt'], 900, None,
+     False),
+    # (swin deep attribution happens OFFLINE from the hlo_bytes_tpu2
+    # dump — scripts/hlo_bytes.py gained --filter for that)
     # batch-2 program attribution (the decoder 1.69x per-pixel anomaly)
     ('hlo_bytes_b2', [PY, 'scripts/hlo_bytes.py', '512', '2', '--top',
-                      '30', '--scope-depth', '4'], 900, None, False),
+                      '30', '--scope-depth', '4',
+                      '--dump', '/tmp/hlo_tpu_512_b2.txt'], 900, None, False),
     # static byte comparison of the fused-upsample variant before
     # spending a window measuring it
     ('hlo_bytes_fused', [PY, 'scripts/hlo_bytes.py', '512', '--fused',
-                         '--top', '20'], 900, None, False),
+                         '--top', '20',
+                         '--dump', '/tmp/hlo_tpu_512_fused.txt'], 900, None,
+     False),
     # ----------------------------------------------------------------------
     ('bench', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),

@@ -20,6 +20,7 @@ sys.path.insert(0, HERE)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('tile', type=int, default=512, nargs='?')
+    ap.add_argument('batch', type=int, default=1, nargs='?')
     ap.add_argument('--impls', default='grouped,chanraw')
     args = ap.parse_args()
 
@@ -49,10 +50,12 @@ def main():
 
         t0 = time.perf_counter()
         c = jax.jit(forward).lower(
-            params, jnp.zeros((1, t, t, 3), jnp.bfloat16)).compile()
+            params,
+            jnp.zeros((args.batch, t, t, 3), jnp.bfloat16)).compile()
         ca = c.cost_analysis() or {}
         b = float(ca.get('bytes accessed', 0))
-        print(f'{impl:16s} compile {time.perf_counter() - t0:6.1f}s  '
+        print(f'{impl:16s} b{args.batch} compile '
+              f'{time.perf_counter() - t0:6.1f}s  '
               f'{b / 1e9:7.2f} GB -> HBM roofline {b / 819e9 * 1e3:6.1f} ms',
               flush=True)
 

@@ -55,6 +55,14 @@ AGENDA = [
     # sibling reduces straight off the conv-layout bf16 tensor — the
     # minimum-traffic form. This A/B decides the default.
     ('gn_ab2', [PY, 'scripts/gn_ab_probe.py', '512'], 880, None, False),
+    # batch-2: hlo_bytes_b2 showed the 1.69x decoder regression is
+    # batch-interleaved layouts (copies {4,2,1,3,0}) + norm moment
+    # fusions materializing BOTH f32 tensors (590 GB vs 2x171.6). The
+    # grouped (B,HW,G,C/G) reshape is the prime layout-pressure suspect;
+    # chanraw reduces in the conv's native layout. Decides training-step
+    # structure too (b8 has the same pathology).
+    ('gn_ab2_b2', [PY, 'scripts/gn_ab_probe.py', '512', '2'], 880, None,
+     False),
     # per-instruction TPU traffic attribution (grouped program is
     # cache-warm: compile-only, fast)
     ('hlo_bytes_tpu', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',

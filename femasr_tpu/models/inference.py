@@ -42,7 +42,7 @@ class SRInferencer:
                  scale_factor: int = 4, dtype=jnp.float32,
                  gt_resolution: int = 256, norm_type: str = 'gn',
                  act_type: str = 'silu', vq_backend: str = 'xla',
-                 max_tile_batch: int = 16, lq_stage: bool = True,
+                 max_tile_batch: int = 1, lq_stage: bool = True,
                  model: Optional[FeMaSRNet] = None, init_merge: bool = True,
                  mesh=None, tensor_parallel: bool = False,
                  attn_pack: int = 1, s2d_tail: bool = False,
@@ -133,7 +133,8 @@ class SRInferencer:
     # -- batched tiles ------------------------------------------------------
 
     def run_tiled(self, x: jax.Array, tile_size: int = 240,
-                  tile_pad: int = 16, fuse_chunks: bool = False) -> jax.Array:
+                  tile_pad: int = 16,
+                  fuse_chunks: Optional[bool] = None) -> jax.Array:
         """Overlap-tiled SR: one batched jitted forward over all tiles.
 
         Replaces the reference's sequential y/x python loop
@@ -142,8 +143,16 @@ class SRInferencer:
 
         fuse_chunks=True additionally runs ALL chunks inside one jitted
         lax.map dispatch (single-device only) — removes per-chunk
-        dispatch overhead on dispatch-bound hosts.
+        dispatch overhead on dispatch-bound hosts. Default (None) = auto:
+        on when single-device. Measured on v5e (2026-08-17, 512px):
+        batch>=2 conv programs compile to batch-interleaved layouts that
+        run 1.7x MORE bytes per pixel (relay_watchdog hlo_bytes_b2:
+        590 GB vs 2x171.6), while a chained lax.map of batch-1 programs
+        matches pipelined batch-1 (303.8 vs 306.5 ms/tile) — so the
+        default serving shape is tile batch 1, all tiles in one dispatch.
         """
+        if fuse_chunks is None:
+            fuse_chunks = self.mesh is None
         b, h, w, c = x.shape
         s = self.scale
         # round padded tile up to the window multiple
@@ -253,7 +262,7 @@ class SRInferencer:
 
     def __call__(self, img: np.ndarray, max_size: int = 600,
                  tile_size: int = 240, tile_pad: int = 16,
-                 fuse_chunks: bool = False) -> np.ndarray:
+                 fuse_chunks: Optional[bool] = None) -> np.ndarray:
         """SR a single HWC [0,1] RGB image; whole vs tiled by pixel count
         (inference_femasr.py:58-63)."""
         x = jnp.asarray(img, jnp.float32)[None]

@@ -213,6 +213,34 @@ def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
     return x.reshape(b, h * factor, w * factor, c)
 
 
+def upconv3_dilated(x: jax.Array, kernel: jax.Array,
+                    bias: Optional[jax.Array] = None) -> jax.Array:
+    """nearest-2x-upsample + 3x3 'SAME' conv as ONE lhs-dilated conv.
+
+    Exact re-association of Upsample->Conv (femasr_arch.py:195-211), same
+    math as fused_upsample2x_conv3 but emitted as a single
+    lhs_dilation=(2,2) convolution with a derived 4x4 kernel, so XLA
+    writes the interleaved HR output directly — no materialized upsampled
+    tensor (the plain path's broadcast+pad+copy chain measured 14.8 GB
+    per decoder level on v5e at 512px) and no phase-major reassembly
+    relayout (the fused path's cost).
+
+    Derivation (correlation form, per spatial dim): the SAME-pad conv on
+    the upsampled signal is ref[p] = sum_u K[u] X[(p-1+u)//2], which
+    splits by parity of p into taps {K0, K1+K2} / {K0+K1, K2} on adjacent
+    X rows; over the 2x-dilated input with pad 2 that is a 4-tap kernel
+    W = A K with A = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]], applied
+    independently to both spatial dims.
+    """
+    a = jnp.asarray([[1., 0., 0.], [1., 1., 0.], [0., 1., 1.], [0., 0., 1.]],
+                    kernel.dtype)                            # (4, 3)
+    w4 = jnp.einsum('au,bv,uvio->abio', a, a, kernel)        # (4, 4, I, O)
+    y = jax.lax.conv_general_dilated(
+        x, w4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y if bias is None else y + bias.astype(y.dtype)
+
+
 def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
     """NHWC pixel shuffle: (B, H, W, C*r^2) -> (B, H*r, W*r, C).
 
@@ -599,7 +627,16 @@ class UpConv3(nn.Module):
         if self.int8:
             return conv3_w8a8(upsample_nearest(x.astype(self.dtype), 2),
                               kernel, bias)
-        if self.fused:
+        # FEMASR_UPCONV overrides the formulation for byte/wall A/B probes:
+        # 'tc' = single lhs-dilated conv, 'fused' = phase convs + shuffle,
+        # 'plain' = materialized nearest-upsample + 3x3 conv.
+        impl = os.environ.get('FEMASR_UPCONV',
+                              'fused' if self.fused else 'plain')
+        if impl == 'tc':
+            return upconv3_dilated(x.astype(self.dtype),
+                                   kernel.astype(self.dtype),
+                                   bias.astype(self.dtype))
+        if impl == 'fused':
             return fused_upsample2x_conv3(x.astype(self.dtype),
                                           kernel.astype(self.dtype), bias)
         y = upsample_nearest(x.astype(self.dtype), 2)

@@ -40,8 +40,12 @@ def main():
                         help='Whole-image path if h*w < max_size^2, else tiled')
     parser.add_argument('--tile_size', type=int, default=240)
     parser.add_argument('--tile_pad', type=int, default=16)
-    parser.add_argument('--tile_batch', type=int, default=16,
-                        help='Tiles per batched forward')
+    parser.add_argument('--tile_batch', type=int, default=1,
+                        help='Tiles per batched forward (default 1: on '
+                             'v5e, batch>=2 conv programs compile to '
+                             'batch-interleaved layouts that cost 1.7x '
+                             'the bytes per pixel; tiles chain via '
+                             'lax.map instead)')
     parser.add_argument('--precision', type=str, default='bf16',
                         choices=['bf16', 'f32'],
                         help='Compute dtype on TPU (params stay f32)')
@@ -72,9 +76,11 @@ def main():
                              'as bf16 serving divergence)')
     parser.add_argument('--attn_pack', type=int, default=1,
                         help='window-packing factor for the swin attention')
-    parser.add_argument('--fuse_chunks', action='store_true',
+    parser.add_argument('--fuse_chunks', action=argparse.BooleanOptionalAction,
+                        default=None,
                         help='tiled mode: run ALL tile chunks inside one '
-                             'jitted lax.map dispatch (single-device)')
+                             'jitted lax.map dispatch (default: auto — on '
+                             'when single-device)')
     args = parser.parse_args()
 
     import jax.numpy as jnp

@@ -202,7 +202,15 @@ def main():
     ap.add_argument('--filter', default=None,
                     help='only attribute instructions whose op_name '
                          'contains this substring (e.g. blocks_1)')
+    ap.add_argument('--from-dump', default=None,
+                    help='analyze a previously dumped HLO text file '
+                         '(no compile, no backend needed)')
     args = ap.parse_args()
+
+    if args.from_dump:
+        with open(args.from_dump) as f:
+            analyze(f.read(), args.top, args.scope_depth, args.filter)
+        return
 
     import jax
     cache_dir = os.path.expanduser('~/.cache/femasr_tpu/jax_cache')

@@ -74,6 +74,18 @@ AGENDA = [
                         '--scope-depth', '4',
                         '--dump', '/tmp/hlo_tpu_512_b1.txt'], 900, None,
      False),
+    # train-step program byte attribution (the 2%-MFU question): compile-
+    # only + HLO dump; b8 likely shares the b2 layout pathology
+    ('train_bytes', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                     '--batch', '8', '--dtype', 'bfloat16',
+                     '--compile-only', '--dump-hlo',
+                     '/tmp/hlo_tpu_train_b8.txt'], 900, None, False),
+    # upconv formulation byte A/B: plain (broadcast+pad+copy chain,
+    # 14.8 GB/level) vs single lhs-dilated conv vs phase-conv+shuffle
+    ('hlo_bytes_upconv', [PY, 'scripts/byte_probe.py', '512', '1',
+                          '--set', 'FEMASR_UPCONV=tc',
+                          '--set', 'FEMASR_UPCONV=fused'], 880, None,
+     False),
     # (swin deep attribution happens OFFLINE from the hlo_bytes_tpu2
     # dump — scripts/hlo_bytes.py gained --filter for that)
     # batch-2 program attribution (the decoder 1.69x per-pixel anomaly)
@@ -268,9 +280,14 @@ def main():
         if not pending:
             print('agenda complete', flush=True)
             return
-        # never co-run TPU measurements with the CPU test suite (CLAUDE.md:
-        # 5x distortion measured on the 1-core container)
-        if pytest_running():
+        # never co-run TPU wall-clock measurements with the CPU test
+        # suite (CLAUDE.md: 5x distortion measured on the 1-core
+        # container). Compile-only byte probes (gn_ab*, hlo_bytes*,
+        # train_bytes) report the compiled program's 'bytes accessed' —
+        # contention only slows the compile, so they may co-run.
+        compile_only = pending[0][0].startswith(
+            ('gn_ab', 'hlo_bytes', 'train_bytes'))
+        if pytest_running() and not compile_only:
             print(f'[{time.strftime("%H:%M:%S")}] pytest running; '
                   'deferring TPU phases 120s', flush=True)
             time.sleep(120)

@@ -41,6 +41,13 @@ def main():
                     help='feed precomputed lq instead of the on-device '
                          'BSRGAN pipeline — isolates the degradation '
                          'share of the step cost')
+    ap.add_argument('--dump-hlo', default=None,
+                    help='write the single-step program HLO here (for '
+                         'scripts/hlo_bytes.py offline attribution)')
+    ap.add_argument('--compile-only', action='store_true',
+                    help='compile + cost-report the step program, no '
+                         'execution (safe on a flapping relay once the '
+                         'compile cache is warm)')
     args = ap.parse_args()
 
     import jax
@@ -154,6 +161,29 @@ logger: {{print_freq: 1, use_tb_logger: false}}
         'LQ-fedlq' if args.no_degrade else 'LQ-ondevice')
     if args.device_data:
         stage += ' device-data'
+
+    if args.compile_only:
+        import jax.numpy as jnp
+        lq_a = jnp.asarray(np.asarray(batch(0)['lq']))
+        gt_a = jnp.asarray(np.asarray(batch(0)['gt']))
+        t0 = time.perf_counter()
+        c = model._train_step.lower(model.state, lq_a, gt_a,
+                                    model.params_hq).compile()
+        print(f'step compile: {time.perf_counter() - t0:.1f}s', flush=True)
+        ca = c.cost_analysis() or {}
+        if 'flops' in ca:
+            print(f'step flops: {float(ca["flops"]) / 1e12:.2f} TFLOP',
+                  flush=True)
+        if 'bytes accessed' in ca:
+            byts = float(ca['bytes accessed'])
+            print(f'step program: {byts / 1e9:.2f} GB accessed -> '
+                  f'HBM roofline {byts / 819e9 * 1e3:.1f} ms/step',
+                  flush=True)
+        if args.dump_hlo:
+            with open(args.dump_hlo, 'w') as f:
+                f.write(c.as_text())
+            print(f'HLO written to {args.dump_hlo}', flush=True)
+        return
 
     if args.chain > 1:
         # K steps per dispatch: ONE scan program, donated state — the

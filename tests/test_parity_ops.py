@@ -266,3 +266,11 @@ def test_fused_upsample_conv_exact():
     out = fused_upsample2x_conv3(x, k, b)
     assert out.shape == ref.shape == (2, 14, 18, 6)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # upconv3_dilated: same math as one lhs-dilated conv (no materialized
+    # upsample, no phase reassembly)
+    from femasr_tpu.ops.layers import upconv3_dilated
+    out_tc = upconv3_dilated(x, k, b)
+    assert out_tc.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out_tc), np.asarray(ref),
+                               atol=2e-5)

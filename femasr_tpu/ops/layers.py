@@ -59,11 +59,14 @@ class GroupNorm(nn.Module):
         #             shift subtraction materializes as a full f32 d.
         #   variadic lax.reduce of (d, d*d): catastrophic on chanlast
         #             (+110 GB — BOTH operands materialize); removed.
-        #   chanraw   (candidate) — chanlast without the shift: sibling
-        #             reduces of x and x*x stream straight from the bf16
-        #             conv-layout tensor, nothing new materializes.
+        #   chanraw   117.7 GB (DEFAULT) — chanlast without the shift:
+        #             sibling reduces of x and x*x stream straight from
+        #             the bf16 conv-layout tensor, nothing new
+        #             materializes. 31% less full-program traffic than
+        #             grouped; roofline 143.8 vs 209.6 ms (gn_ab2,
+        #             2026-08-17). Batch-2: 436.8 vs 590.2 GB.
         # Equal counts per channel keep the mean-of-means forms exact.
-        impl = os.environ.get('FEMASR_GN_IMPL', 'grouped')
+        impl = os.environ.get('FEMASR_GN_IMPL', 'chanraw')
         if impl == 'chanraw':
             # raw per-channel moments, no shift: minimum-traffic form.
             # f32 accumulation over bf16 values; the E[x^2]-E[x]^2

@@ -45,12 +45,18 @@ def main():
     for variant in variants:
         for k in KNOBS:
             os.environ.pop(k, None)
+        mkw = {}
         for kv in filter(None, variant.split(',')):
             k, _, v = kv.partition('=')
-            os.environ[k] = v
+            if k.startswith('MODEL.'):
+                mkw[k[6:]] = (v in ('1', 'true', 'True')
+                              if v in ('0', '1', 'true', 'True', 'false',
+                                       'False') else int(v))
+            else:
+                os.environ[k] = v
         model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                           scale_factor=4, norm_type='gn', act_type='silu',
-                          dtype=jnp.bfloat16)
+                          dtype=jnp.bfloat16, **mkw)
         params = jax.eval_shape(
             model.init, jax.random.PRNGKey(0),
             jnp.zeros((1, t, t, 3), jnp.bfloat16))['params']

@@ -86,6 +86,12 @@ AGENDA = [
                           '--set', 'FEMASR_UPCONV=tc',
                           '--set', 'FEMASR_UPCONV=fused'], 880, None,
      False),
+    # s2d under chanraw: the C=64 decoder tail still pads 64->128 lanes
+    # on every tensor; s2d (4C=256 @ half res) fills the lanes
+    ('hlo_bytes_s2d', [PY, 'scripts/byte_probe.py', '512', '1',
+                       '--set', 'MODEL.s2d_tail=1',
+                       '--set', 'MODEL.s2d_tail=1,FEMASR_S2D_ALIGN=8'],
+     880, None, False),
     # (swin deep attribution happens OFFLINE from the hlo_bytes_tpu2
     # dump — scripts/hlo_bytes.py gained --filter for that)
     # batch-2 program attribution (the decoder 1.69x per-pixel anomaly)

@@ -47,7 +47,7 @@ def test_groupnorm_parity():
     # every FEMASR_GN_IMPL reduction structure computes the same norm
     # (they differ only in TPU byte traffic — see ops/layers.py)
     import os
-    for impl in ('chanraw', 'chanlast'):
+    for impl in ('grouped', 'chanlast'):
         os.environ['FEMASR_GN_IMPL'] = impl
         try:
             out_i = gn.apply(params, jnp.asarray(to_nhwc(x)))

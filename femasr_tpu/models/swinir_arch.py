@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from ..ops.layers import (conv2d, pixel_shuffle, pixel_unshuffle,
                           upsample_nearest)
-from ..ops.swin import RSTB
+from ..ops.swin import RSTB, LayerNormTPU
 from ..utils.registry import ARCH_REGISTRY
 
 RGB_MEAN = (0.4488, 0.4371, 0.4040)
@@ -77,8 +77,7 @@ class SwinIR(nn.Module):
         """patch_embed(+norm) -> RSTBs -> norm (network_swinir.py:791-803)."""
         b, h, w, c = x.shape
         if self.patch_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                             param_dtype=jnp.float32,
+            x = LayerNormTPU(epsilon=1e-5, dtype=self.dtype,
                              name='patch_embed_norm')(x)
         if self.ape:
             ape = self.param('absolute_pos_embed',
@@ -96,8 +95,7 @@ class SwinIR(nn.Module):
                      use_checkpoint=self.use_checkpoint,
                      attn_pack=self.attn_pack, dtype=self.dtype,
                      name=f'layers_{i}')(x)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                            param_dtype=jnp.float32, name='norm')(x)
+        return LayerNormTPU(epsilon=1e-5, dtype=self.dtype, name='norm')(x)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

@@ -127,6 +127,43 @@ def window_reverse(windows: jax.Array, window_size: int, h: int,
 # modules
 # ---------------------------------------------------------------------------
 
+class LayerNormTPU(nn.Module):
+    """LayerNorm over the last axis with float32 statistics, formulated
+    for minimal HBM traffic on TPU.
+
+    Drop-in for nn.LayerNorm(epsilon, dtype, param_dtype=f32): same param
+    names/shapes ('scale', 'bias'), same math. flax's implementation
+    materializes the float32 cast of its input before the moment reduces
+    (measured 2026-08-17 on the 512px serving program: ~0.4 GB of
+    copy/cast churn per LN at the swin resolution — the largest single
+    byte sink after GroupNorm). Here the raw moments stream straight from
+    the compute-dtype tensor as sibling lane reductions (the convert and
+    square fuse into the reduce; same structure as the 'chanraw'
+    GroupNorm in ops/layers.py), and the affine apply runs in the
+    compute dtype.
+    """
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+        if os.environ.get('FEMASR_LN_IMPL') == 'flax':  # byte-A/B baseline
+            return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype,
+                                param_dtype=jnp.float32, name='flaxln')(x)
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        m1 = xf.mean(axis=-1, keepdims=True)
+        m2 = jnp.square(xf).mean(axis=-1, keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        mul = (inv * scale).astype(self.dtype)
+        sub = m1.astype(self.dtype)
+        return (x.astype(self.dtype) - sub) * mul + bias.astype(self.dtype)
+
+
 def dense(features: int, use_bias: bool = True, dtype: Dtype = jnp.float32,
           int8: bool = False, name: Optional[str] = None) -> nn.Module:
     if int8:
@@ -326,8 +363,7 @@ class SwinTransformerBlock(nn.Module):
             window_size = min(self.input_resolution)
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name='norm1')(x)
+        x = LayerNormTPU(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
 
         if shift_size > 0:
             x = jnp.roll(x, (-shift_size, -shift_size), axis=(1, 2))
@@ -350,8 +386,7 @@ class SwinTransformerBlock(nn.Module):
             x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
 
         x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name='norm2')(x)
+        y = LayerNormTPU(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
         y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
                 out_features=self.dim, int8=self.int8_linears,
                 dtype=self.dtype, name='mlp')(y)

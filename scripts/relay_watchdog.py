@@ -92,6 +92,16 @@ AGENDA = [
                        '--set', 'MODEL.s2d_tail=1',
                        '--set', 'MODEL.s2d_tail=1,FEMASR_S2D_ALIGN=8'],
      880, None, False),
+    # LayerNormTPU (streaming lane-reduce stats) vs flax nn.LayerNorm
+    # (materializes the f32 cast: ~0.4 GB/LN at the swin res, 48 LNs)
+    ('hlo_bytes_ln', [PY, 'scripts/byte_probe.py', '512', '1',
+                      '--set', '', '--set', 'FEMASR_LN_IMPL=flax'],
+     880, None, False),
+    # attn_pack bytes under the new norm stack (wall-clock A/Bs were
+    # confounded by the old GroupNorm; bytes settle it)
+    ('hlo_bytes_pack', [PY, 'scripts/byte_probe.py', '512', '1',
+                        '--set', 'MODEL.attn_pack=2',
+                        '--set', 'MODEL.attn_pack=4'], 880, None, False),
     # (swin deep attribution happens OFFLINE from the hlo_bytes_tpu2
     # dump — scripts/hlo_bytes.py gained --filter for that)
     # batch-2 program attribution (the decoder 1.69x per-pixel anomaly)

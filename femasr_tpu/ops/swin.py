@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -224,8 +225,11 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[np.ndarray] = None,
                  n_windows: Optional[int] = None) -> jax.Array:
-        """x: (B_, N, C) windows; mask: static (nW, N, N) or None;
+        """x: (B_, N, C) windows — or (B, H, W, C) unpartitioned when
+        backend='nhwc'; mask: static (nW, N, N) or None;
         n_windows: static windows-per-image count (enables packing)."""
+        if x.ndim == 4:
+            return self._nhwc(x, mask)
         b_, n, c = x.shape
         nh = self.num_heads
         head_dim = c // nh
@@ -330,6 +334,67 @@ class WindowAttention(nn.Module):
                      name='proj')(out)
 
 
+    def _nhwc(self, x: jax.Array,
+              mask: Optional[np.ndarray]) -> jax.Array:
+        """Transpose-free window attention on the unpartitioned (B,H,W,C)
+        map: window grouping lives in dot_general batch dims, so every
+        reshape splits contiguous axes (H->ny,ws; W->nx,ws; C->3,nh,hd)
+        and no physical partition/reverse copies are emitted (the
+        explicit path costs ~4 relayout copies of the full map per block
+        — 16.7 GB across blocks_1 in the 2026-08-17 512px attribution).
+        Same math and the same 'qkv'/'proj'/bias params as the windowed
+        path; selected via attn_backend='nhwc'."""
+        b, h, w, c = x.shape
+        ws = self.window_size[0]
+        ny, nx = h // ws, w // ws
+        nh = self.num_heads
+        hd = c // nh
+        n = ws * ws
+        scale_q = self.qk_scale or hd ** -0.5
+
+        table = self.param(
+            'relative_position_bias_table',
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * ws - 1) * (2 * ws - 1), nh), jnp.float32)
+        qkv = dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                    int8=self.int8_linears, name='qkv')(x)
+        qkv = qkv.reshape(b, ny, ws, nx, ws, 3, nh, hd)
+        q = qkv[:, :, :, :, :, 0] * scale_q     # (b, ny, ws, nx, ws, nh, hd)
+        k = qkv[:, :, :, :, :, 1]
+        v = qkv[:, :, :, :, :, 2]
+
+        acc_dtype = (jnp.float32 if self.dtype == jnp.float32 else self.dtype)
+        # scores between tokens (p,q) and (r,s) of window (y,x), per head
+        attn = jnp.einsum('bypxqhd,byrxshd->byxhpqrs', q, k,
+                          preferred_element_type=acc_dtype)
+
+        rpi_flat = relative_position_index(ws, ws).reshape(-1)
+        bias = table[rpi_flat].reshape(n, n, nh).transpose(2, 0, 1)
+        bias = bias.reshape(nh, ws, ws, ws, ws)
+        attn = attn + bias[None, None, None].astype(acc_dtype)
+        if mask is not None:
+            mask_np = np.asarray(mask, np.float32).reshape(
+                ny, nx, ws, ws, ws, ws)
+            attn = attn + jnp.asarray(
+                mask_np, acc_dtype)[None, :, :, None]
+
+        a2 = attn.reshape(b, ny, nx, nh, ws, ws, n)
+        if acc_dtype == jnp.float32:
+            a2 = jax.nn.softmax(a2, axis=-1).astype(self.dtype)
+        else:
+            a_max = jax.lax.stop_gradient(
+                jnp.max(a2, axis=-1, keepdims=True))
+            e = jnp.exp(a2 - a_max)
+            s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            a2 = e / s.astype(acc_dtype)
+        attn = a2.reshape(b, ny, nx, nh, ws, ws, ws, ws)
+
+        out = jnp.einsum('byxhpqrs,byrxshd->bypxqhd', attn, v)
+        out = out.reshape(b, h, w, c)
+        return dense(c, dtype=self.dtype, int8=self.int8_linears,
+                     name='proj')(out)
+
+
 class SwinTransformerBlock(nn.Module):
     """LN -> (S)W-MSA -> residual -> LN -> MLP -> residual.
 
@@ -368,19 +433,24 @@ class SwinTransformerBlock(nn.Module):
         if shift_size > 0:
             x = jnp.roll(x, (-shift_size, -shift_size), axis=(1, 2))
 
-        x_windows = window_partition(x, window_size)
         mask = (shifted_window_mask(h, w, window_size, shift_size)
                 if shift_size > 0 else None)
-        attn_windows = WindowAttention(
+        backend = os.environ.get('FEMASR_ATTN', self.attn_backend)
+        attn_mod = WindowAttention(
             dim=self.dim, window_size=(window_size, window_size),
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, backend=self.attn_backend,
+            qk_scale=self.qk_scale, backend=backend,
             pack=self.attn_pack, pack_shifted=self.attn_pack_shifted,
             int8_linears=self.int8_linears,
-            dtype=self.dtype, name='attn')(
+            dtype=self.dtype, name='attn')
+        if backend == 'nhwc':
+            x = attn_mod(x, mask=mask)
+        else:
+            x_windows = window_partition(x, window_size)
+            attn_windows = attn_mod(
                 x_windows, mask=mask,
                 n_windows=(h // window_size) * (w // window_size))
-        x = window_reverse(attn_windows, window_size, h, w)
+            x = window_reverse(attn_windows, window_size, h, w)
 
         if shift_size > 0:
             x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))

@@ -21,7 +21,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 KNOBS = ('FEMASR_GN_IMPL', 'FEMASR_UPCONV', 'FEMASR_S2D_ALIGN',
-         'FEMASR_LN_IMPL')
+         'FEMASR_LN_IMPL', 'FEMASR_ATTN')
 
 
 def main():

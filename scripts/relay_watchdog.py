@@ -102,6 +102,10 @@ AGENDA = [
     ('hlo_bytes_pack', [PY, 'scripts/byte_probe.py', '512', '1',
                         '--set', 'MODEL.attn_pack=2',
                         '--set', 'MODEL.attn_pack=4'], 880, None, False),
+    # transpose-free dot_general window attention (no partition/reverse
+    # copies — 16.7 GB across blocks_1 in the per-op attribution)
+    ('hlo_bytes_attn', [PY, 'scripts/byte_probe.py', '512', '1',
+                        '--set', 'FEMASR_ATTN=nhwc'], 880, None, False),
     # (swin deep attribution happens OFFLINE from the hlo_bytes_tpu2
     # dump — scripts/hlo_bytes.py gained --filter for that)
     # batch-2 program attribution (the decoder 1.69x per-pixel anomaly)

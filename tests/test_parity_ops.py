@@ -274,3 +274,36 @@ def test_fused_upsample_conv_exact():
     assert out_tc.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out_tc), np.asarray(ref),
                                atol=2e-5)
+
+
+@pytest.mark.parametrize('shift', [0, 4])
+def test_window_attention_nhwc_exact(shift):
+    """attn_backend='nhwc' (transpose-free dot_general window grouping)
+    matches the explicit window_partition path exactly, with the same
+    param tree (checkpoint-compatible)."""
+    import os
+    from femasr_tpu.ops.swin import SwinTransformerBlock
+    rng = np.random.default_rng(5)
+    blk = SwinTransformerBlock(dim=32, input_resolution=(16, 16),
+                               num_heads=4, window_size=8,
+                               shift_size=shift, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    ref = blk.apply(params, x)
+    os.environ['FEMASR_ATTN'] = 'nhwc'
+    try:
+        p2 = blk.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+        out = blk.apply(params, x)
+        # gradient path through einsums/softmax must agree too
+        g_ref = jax.grad(lambda p: jnp.sum(jnp.square(
+            blk.apply(p, x))))(params)
+    finally:
+        os.environ.pop('FEMASR_ATTN', None)
+    g_base = jax.grad(lambda p: jnp.sum(jnp.square(blk.apply(p, x))))(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_base)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)

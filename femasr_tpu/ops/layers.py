@@ -558,15 +558,19 @@ class GroupNormS2D(nn.Module):
         # waste, which OOMs at the decoder tail), then fold the tiny
         # (B, 4C) result into HR channel groups. Equal counts per channel
         # make the mean-of-means exact.
-        # per-group shift (one sampled element) guards the E[d^2]-E[d]^2
-        # form against catastrophic cancellation when |mean| >> std (same
-        # fix as GroupNorm above); the single fused read is preserved.
+        # raw moments by default (chanraw — see GroupNorm above: the
+        # shift-free streaming form measured -31% full-program bytes);
+        # FEMASR_GN_IMPL=grouped/chanlast restores the shift-guarded pass.
         xf = x.astype(jnp.float32)
-        flat0 = xf.reshape(b, -1, c4)[:, 0, :]                  # (B, 4C)
-        shift = jax.lax.stop_gradient(
-            flat0.reshape(b, 4, g, c // g)[:, 0, :, 0])         # (B, G)
-        shift_c = jnp.tile(jnp.repeat(shift, c // g, axis=1), (1, 4))
-        d = xf - shift_c.reshape((b,) + (1,) * (x.ndim - 2) + (c4,))
+        if os.environ.get('FEMASR_GN_IMPL', 'chanraw') == 'chanraw':
+            shift = jnp.zeros((b, g), jnp.float32)
+            d = xf
+        else:
+            flat0 = xf.reshape(b, -1, c4)[:, 0, :]              # (B, 4C)
+            shift = jax.lax.stop_gradient(
+                flat0.reshape(b, 4, g, c // g)[:, 0, :, 0])     # (B, G)
+            shift_c = jnp.tile(jnp.repeat(shift, c // g, axis=1), (1, 4))
+            d = xf - shift_c.reshape((b,) + (1,) * (x.ndim - 2) + (c4,))
         m1 = d.mean(axis=tuple(range(1, x.ndim - 1)))           # (B, 4C)
         m2 = jnp.square(d).mean(axis=tuple(range(1, x.ndim - 1)))
         dmean = m1.reshape(b, 4, g, c // g).mean(axis=(1, 3))   # (B, G)

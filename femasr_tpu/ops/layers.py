@@ -637,8 +637,12 @@ class UpConv3(nn.Module):
         # FEMASR_UPCONV overrides the formulation for byte/wall A/B probes:
         # 'tc' = single lhs-dilated conv, 'fused' = phase convs + shuffle,
         # 'plain' = materialized nearest-upsample + 3x3 conv.
+        # DEFAULT 'tc': byte A/B on the full 512px v5e serving program
+        # (2026-08-17): tc 97.3 GB vs plain 117.7 vs fused 164.6 — the
+        # materialized upsample costs a broadcast+pad+relayout chain per
+        # level and the phase-conv form pays even more in reassembly.
         impl = os.environ.get('FEMASR_UPCONV',
-                              'fused' if self.fused else 'plain')
+                              'fused' if self.fused else 'tc')
         if impl == 'tc':
             return upconv3_dilated(x.astype(self.dtype),
                                    kernel.astype(self.dtype),

@@ -106,18 +106,26 @@ AGENDA = [
     # copies — 16.7 GB across blocks_1 in the per-op attribution)
     ('hlo_bytes_attn', [PY, 'scripts/byte_probe.py', '512', '1',
                         '--set', 'FEMASR_ATTN=nhwc'], 880, None, False),
+    # first bench with the round-3 session-2 defaults (chanraw GN +
+    # LayerNormTPU + tc upconv = 97.3 GB, roofline 118.8 ms -> ~2.0 MP/s
+    # at the measured 94% efficiency): warms the driver's ladder caches
+    # and records the number
+    ('bench_newdefaults', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
+    # fresh per-op attribution + dump of the 97.3 GB default program
+    # (chanraw + LNTPU + tc) for the next byte-hunt round
+    ('hlo_bytes_tpu3', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',
+                        '--scope-depth', '4',
+                        '--dump', '/tmp/hlo_tpu_512_b1_v2.txt'], 900, None,
+     False),
     # (swin deep attribution happens OFFLINE from the hlo_bytes_tpu2
     # dump — scripts/hlo_bytes.py gained --filter for that)
     # batch-2 program attribution (the decoder 1.69x per-pixel anomaly)
     ('hlo_bytes_b2', [PY, 'scripts/hlo_bytes.py', '512', '2', '--top',
                       '30', '--scope-depth', '4',
                       '--dump', '/tmp/hlo_tpu_512_b2.txt'], 900, None, False),
-    # static byte comparison of the fused-upsample variant before
-    # spending a window measuring it
-    ('hlo_bytes_fused', [PY, 'scripts/hlo_bytes.py', '512', '--fused',
-                         '--top', '20',
-                         '--dump', '/tmp/hlo_tpu_512_fused.txt'], 900, None,
-     False),
+    # (hlo_bytes_fused dropped: byte_probe measured fused = 164.6 GB,
+    # strictly dominated by tc = 97.3)
     # ----------------------------------------------------------------------
     ('bench', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
@@ -173,10 +181,7 @@ AGENDA = [
     # (int8 sub-variant phases removed: int8_everything already measured
     # the combination LOSING by 6.6% — VERDICT #7 answered no-go;
     # pack_swin_seg removed: attn_pack contradiction closed in window 5)
-    # fused_full: first attempt stalled its compile 600 s (14:24) —
-    # demoted; retries only after everything else
-    ('fused_full', [PY, 'scripts/perf_probe.py', '512', '1', '--fused'],
-     600, None, False),
+    # (fused_full dropped: fused formulation byte-dominated by tc)
     # bench_warm repeats until the round ends so the LAST completed run
     # always left warm caches + a fresh honest number in the log
     ('bench_warm', [PY, 'bench.py'], 600,

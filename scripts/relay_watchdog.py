@@ -172,6 +172,13 @@ AGENDA = [
                           '--batch', '8', '--dtype', 'bfloat16', '--chain',
                           '8', '--iters', '16', '--device-data',
                           '--no-degrade'], 600, None, False),
+    # wall-clock of the NEW (chanraw+LNTPU+tc) step program WITH the
+    # degradation pipeline: the 2224 ms/step 2%-MFU number was measured
+    # on the old 590-GB-era code; the new program's roofline is 114.5 ms
+    ('train_chain8_new', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                          '--batch', '8', '--dtype', 'bfloat16', '--chain',
+                          '8', '--iters', '16', '--device-data'], 700,
+     None, False),
     ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
     # unchained-vs-chained per-step comparison (H2D story already
     # explained the 18 s anomaly; this is now low-priority attribution)

@@ -339,11 +339,16 @@ class WindowAttention(nn.Module):
         """Transpose-free window attention on the unpartitioned (B,H,W,C)
         map: window grouping lives in dot_general batch dims, so every
         reshape splits contiguous axes (H->ny,ws; W->nx,ws; C->3,nh,hd)
-        and no physical partition/reverse copies are emitted (the
-        explicit path costs ~4 relayout copies of the full map per block
-        — 16.7 GB across blocks_1 in the 2026-08-17 512px attribution).
-        Same math and the same 'qkv'/'proj'/bias params as the windowed
-        path; selected via attn_backend='nhwc'."""
+        and no physical partition/reverse copies are emitted. Same math
+        and the same 'qkv'/'proj'/bias params as the windowed path;
+        selected via attn_backend='nhwc' / FEMASR_ATTN=nhwc.
+
+        MEASURED NEGATIVE on v5e XLA (2026-08-17 byte probe): 222.6 GB
+        full-program vs 97.3 for the partitioned path — XLA lays the
+        8-D einsum operands out so badly that the saved partition copies
+        (~5 GB) are dwarfed. Kept as a formulation option for future
+        compiler versions; default stays 'xla'. (attn_pack loses on the
+        same probe: p=2 114.9 GB, p=4 125.8.)"""
         b, h, w, c = x.shape
         ws = self.window_size[0]
         ny, nx = h // ws, w // ws

@@ -112,6 +112,18 @@ AGENDA = [
     # and records the number
     ('bench_newdefaults', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
+    # warm the driver-bench ladder's remaining compile-cache entries
+    # (compile-only; 512 b1 already warm from the byte probes)
+    ('hlo_bytes_warm128', [PY, 'scripts/byte_probe.py', '128', '1'],
+     600, None, False),
+    ('hlo_bytes_warm128b2', [PY, 'scripts/byte_probe.py', '128', '2'],
+     600, None, False),
+    ('hlo_bytes_warm256', [PY, 'scripts/byte_probe.py', '256', '1'],
+     600, None, False),
+    ('hlo_bytes_warm256b2', [PY, 'scripts/byte_probe.py', '256', '2'],
+     600, None, False),
+    ('hlo_bytes_warm512b2', [PY, 'scripts/byte_probe.py', '512', '2'],
+     600, None, False),
     # fresh per-op attribution + dump of the 97.3 GB default program
     # (chanraw + LNTPU + tc) for the next byte-hunt round
     ('hlo_bytes_tpu3', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',

@@ -217,7 +217,8 @@ def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
 
 
 def upconv3_dilated(x: jax.Array, kernel: jax.Array,
-                    bias: Optional[jax.Array] = None) -> jax.Array:
+                    bias: Optional[jax.Array] = None,
+                    out_dtype=None) -> jax.Array:
     """nearest-2x-upsample + 3x3 'SAME' conv as ONE lhs-dilated conv.
 
     Exact re-association of Upsample->Conv (femasr_arch.py:195-211), same
@@ -238,6 +239,8 @@ def upconv3_dilated(x: jax.Array, kernel: jax.Array,
     a = jnp.asarray([[1., 0., 0.], [1., 1., 0.], [0., 1., 1.], [0., 0., 1.]],
                     kernel.dtype)                            # (4, 3)
     w4 = jnp.einsum('au,bv,uvio->abio', a, a, kernel)        # (4, 4, I, O)
+    if out_dtype is not None:
+        w4 = w4.astype(out_dtype)
     y = jax.lax.conv_general_dilated(
         x, w4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
@@ -644,9 +647,10 @@ class UpConv3(nn.Module):
         impl = os.environ.get('FEMASR_UPCONV',
                               'fused' if self.fused else 'tc')
         if impl == 'tc':
-            return upconv3_dilated(x.astype(self.dtype),
-                                   kernel.astype(self.dtype),
-                                   bias.astype(self.dtype))
+            # derive the 4x4 tap-sum kernel in f32, cast once (avoids
+            # double bf16 rounding of the K0+K1 sums)
+            return upconv3_dilated(x.astype(self.dtype), kernel,
+                                   bias, out_dtype=self.dtype)
         if impl == 'fused':
             return fused_upsample2x_conv3(x.astype(self.dtype),
                                           kernel.astype(self.dtype), bias)

@@ -124,6 +124,9 @@ AGENDA = [
      600, None, False),
     ('hlo_bytes_warm512b2', [PY, 'scripts/byte_probe.py', '512', '2'],
      600, None, False),
+    # re-warm 512 b1 after the tc f32-derivation change (new cache key)
+    ('hlo_bytes_warm512v2', [PY, 'scripts/byte_probe.py', '512', '1'],
+     600, None, False),
     # fresh per-op attribution + dump of the 97.3 GB default program
     # (chanraw + LNTPU + tc) for the next byte-hunt round
     ('hlo_bytes_tpu3', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',

@@ -40,12 +40,13 @@ def main():
                         help='Whole-image path if h*w < max_size^2, else tiled')
     parser.add_argument('--tile_size', type=int, default=240)
     parser.add_argument('--tile_pad', type=int, default=16)
-    parser.add_argument('--tile_batch', type=int, default=1,
-                        help='Tiles per batched forward (default 1: on '
-                             'v5e, batch>=2 conv programs compile to '
-                             'batch-interleaved layouts that cost 1.7x '
-                             'the bytes per pixel; tiles chain via '
-                             'lax.map instead)')
+    parser.add_argument('--tile_batch', type=int, default=None,
+                        help='Tiles per batched forward (default: 1 on a '
+                             'single device — v5e batch>=2 conv programs '
+                             'compile to batch-interleaved layouts that '
+                             'cost 1.7x the bytes per pixel, tiles chain '
+                             'via lax.map instead; with --dp the default '
+                             'is one tile per device)')
     parser.add_argument('--precision', type=str, default='bf16',
                         choices=['bf16', 'f32'],
                         help='Compute dtype on TPU (params stay f32)')
@@ -99,6 +100,8 @@ def main():
     if args.dp > 0:
         from femasr_tpu.parallel.mesh import create_mesh
         mesh = create_mesh(data=args.dp, model=args.tp)
+    if args.tile_batch is None:
+        args.tile_batch = max(1, args.dp)  # one tile per data-parallel chip
     sr = load_inferencer(weight_path, scale_factor=args.out_scale,
                          dtype=dtype, max_tile_batch=args.tile_batch,
                          mesh=mesh, tensor_parallel=args.tp > 1,

@@ -75,15 +75,22 @@ def shape_bytes(dtype, dims, layout):
     return n * esize
 
 
-def parse_shape_bytes(text):
-    """Total physical bytes of a (possibly tuple) shape string."""
+def parse_shape_bytes(text, logical=False):
+    """Total bytes of a (possibly tuple) shape string.
+
+    logical=False: physical layout bytes incl. TPU tile padding (shows
+    layout waste). logical=True: unpadded element bytes — this is what
+    XLA cost_analysis 'bytes accessed' counts, and what wall-clock
+    tracks on the v5e (verified 2026-08-17: logical 97.85 GB vs
+    cost_analysis 97.29 vs padded-physical 183.2 on the same program).
+    """
     total = 0
     for m in SHAPE_RE.finditer(text):
         dtype, dim_s, layout = m.group(1), m.group(2), m.group(3)
         if dtype not in DTYPE_BYTES:
             continue
         dims = [int(v) for v in dim_s.split(',')] if dim_s else []
-        total += shape_bytes(dtype, dims, layout)
+        total += shape_bytes(dtype, dims, None if logical else layout)
     return total
 
 
@@ -133,7 +140,7 @@ def analyze(hlo, top_n=40, scope_depth=3, scope_filter=None):
         if not mi:
             continue
         name, shape_s, opcode, rest = mi.groups()
-        ob = parse_shape_bytes(shape_s)
+        ob = parse_shape_bytes(shape_s, logical=True)
         out_bytes[name] = ob
         if opcode in FREE_OPS:
             continue
@@ -164,7 +171,8 @@ def analyze(hlo, top_n=40, scope_depth=3, scope_filter=None):
 
     rows.sort(reverse=True)
     total = sum(r[0] for r in rows)
-    print(f'TOTAL traffic (operands+outputs, physical layout): '
+    print(f'TOTAL traffic (operands+outputs, LOGICAL bytes — the '
+          f'cost_analysis/wall-clock currency): '
           f'{total / 1e9:.2f} GB -> {total / 819e9 * 1e3:.1f} ms @819GB/s')
     print(f'\n== top {top_n} instructions ==')
     for tb, ob, ib, opcode, name, shape_s, op_name in rows[:top_n]:

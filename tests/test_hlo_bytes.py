@@ -79,3 +79,13 @@ ENTRY %main (Arg_0.1: f32[4,128]) -> f32[4,128] {
     assert total == 2 * 4 * 128 * 4
     # fusion with no call-site metadata inherits the body's op_name
     assert 'Model/layer' in out
+
+
+def test_logical_bytes_ignore_tiling():
+    # cost_analysis counts logical (unpadded) bytes; logical=True must
+    # drop the tile padding but keep dtype/element math
+    padded = hlo_bytes.parse_shape_bytes('f32[1,100,130]{2,1,0:T(8,128)}')
+    logical = hlo_bytes.parse_shape_bytes('f32[1,100,130]{2,1,0:T(8,128)}',
+                                          logical=True)
+    assert padded == 1 * 104 * 256 * 4
+    assert logical == 1 * 100 * 130 * 4

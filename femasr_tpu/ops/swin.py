@@ -263,14 +263,16 @@ class WindowAttention(nn.Module):
             return dense(c, dtype=self.dtype, int8=self.int8_linears,
                          name='proj')(out)
 
-        # slice q/k/v out of the fused projection instead of materializing a
-        # (3, B_, nh, N, hd) transpose of the whole tensor; the per-head
-        # split stays in the (B_, N, nh, hd) layout and the einsums carry
-        # the head dim as a batch dim (XLA folds the layout into the dot).
-        qkv = qkv.reshape(b_, n, 3, nh, head_dim)
-        q = qkv[:, :, 0] * scale   # (B_, N, nh, hd)
-        k = qkv[:, :, 1]
-        v = qkv[:, :, 2]
+        # slice q/k/v off the MINOR dim of the fused projection, then split
+        # heads with a contiguous reshape. The earlier
+        # (B_, N, 3, nh, hd) reshape materialized a 100 MB permuted-layout
+        # copy per block (0.20 GB traffic x24 blocks in the 2026-08-17
+        # per-op attribution); minor-dim slices fuse into the consumer
+        # dots instead.
+        q = (qkv[..., :c].reshape(b_, n, nh, head_dim)
+             * scale)              # (B_, N, nh, hd)
+        k = qkv[..., c:2 * c].reshape(b_, n, nh, head_dim)
+        v = qkv[..., 2 * c:].reshape(b_, n, nh, head_dim)
 
         # window packing factor actually usable at this call's geometry:
         # must divide the windows-per-image count so groups never mix the

@@ -127,6 +127,10 @@ AGENDA = [
     # re-warm 512 b1 after the tc f32-derivation change (new cache key)
     ('hlo_bytes_warm512v2', [PY, 'scripts/byte_probe.py', '512', '1'],
      600, None, False),
+    # byte check of the qkv minor-dim slice fix (expected ~-5 GB: the
+    # (B_,N,3,nh,hd) reshape copied 100 MB/block)
+    ('hlo_bytes_qkv', [PY, 'scripts/byte_probe.py', '512', '1'],
+     600, None, False),
     # fresh per-op attribution + dump of the 97.3 GB default program
     # (chanraw + LNTPU + tc) for the next byte-hunt round
     ('hlo_bytes_tpu3', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',

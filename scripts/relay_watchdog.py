@@ -112,24 +112,27 @@ AGENDA = [
     # and records the number
     ('bench_newdefaults', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
+    # HIGHEST PRIORITY after the session-3 restart (22:4x UTC): the qkv
+    # minor-dim-slice commit changed the 512 b1 program -> the headline
+    # cache entry is COLD. Warm it + record the byte delta FIRST so the
+    # driver's end-of-round bench finds a warm cache whatever happens.
+    # (expected ~-5 GB: the (B_,N,3,nh,hd) reshape copied 100 MB/block)
+    ('hlo_bytes_qkv', [PY, 'scripts/byte_probe.py', '512', '1'],
+     600, None, False),
+    # fresh headline number on the qkv program (cache now warm: fast)
+    ('bench_qkv', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
     # warm the driver-bench ladder's remaining compile-cache entries
-    # (compile-only; 512 b1 already warm from the byte probes)
-    ('hlo_bytes_warm128', [PY, 'scripts/byte_probe.py', '128', '1'],
-     600, None, False),
-    ('hlo_bytes_warm128b2', [PY, 'scripts/byte_probe.py', '128', '2'],
-     600, None, False),
+    # (compile-only)
     ('hlo_bytes_warm256', [PY, 'scripts/byte_probe.py', '256', '1'],
      600, None, False),
-    ('hlo_bytes_warm256b2', [PY, 'scripts/byte_probe.py', '256', '2'],
+    ('hlo_bytes_warm128', [PY, 'scripts/byte_probe.py', '128', '1'],
      600, None, False),
     ('hlo_bytes_warm512b2', [PY, 'scripts/byte_probe.py', '512', '2'],
      600, None, False),
-    # re-warm 512 b1 after the tc f32-derivation change (new cache key)
-    ('hlo_bytes_warm512v2', [PY, 'scripts/byte_probe.py', '512', '1'],
+    ('hlo_bytes_warm256b2', [PY, 'scripts/byte_probe.py', '256', '2'],
      600, None, False),
-    # byte check of the qkv minor-dim slice fix (expected ~-5 GB: the
-    # (B_,N,3,nh,hd) reshape copied 100 MB/block)
-    ('hlo_bytes_qkv', [PY, 'scripts/byte_probe.py', '512', '1'],
+    ('hlo_bytes_warm128b2', [PY, 'scripts/byte_probe.py', '128', '2'],
      600, None, False),
     # fresh per-op attribution + dump of the 97.3 GB default program
     # (chanraw + LNTPU + tc) for the next byte-hunt round

@@ -280,6 +280,7 @@ class MultiScaleEncoder(nn.Module):
     fused_upsample: bool = False
     int8_enc_up: bool = False
     int8_swin: bool = False
+    attn_layout: str = 'spatial'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
@@ -303,6 +304,7 @@ class MultiScaleEncoder(nn.Module):
         if self.lq_stage:
             x = SwinLayers(mlp_ratio=self.swin_mlp_ratio,
                            use_checkpoint=self.use_checkpoint,
+                           attn_layout=self.attn_layout,
                            attn_pack=self.attn_pack,
                            attn_pack_shifted=self.attn_pack_shifted,
                            int8_linears=self.int8_swin,
@@ -365,6 +367,10 @@ class FeMaSRNet(nn.Module):
     # divergence class as bf16 serving (PARITY.md); quality-gated in
     # tests/test_inference.py
     int8_swin: bool = False
+    # 'spatial' | 'winmajor': window-major residual groups (partition once
+    # per RSTB group; SW-MSA shifts as static row gathers). Bit-exact; see
+    # ops/swin.py BasicLayer. Env override FEMASR_SWIN_LAYOUT for A/Bs.
+    attn_layout: str = 'spatial'
     # window-packing factor for the swin attention einsums (exact math for
     # any value — cross-window terms are masked to exp -> 0; see
     # ops/swin.py WindowAttention.pack)
@@ -405,6 +411,7 @@ class FeMaSRNet(nn.Module):
             lq_stage=self.LQ_stage, use_checkpoint=self.use_checkpoint,
             fused_upsample=self.fused_upsample,
             int8_enc_up=self.int8_enc_up, int8_swin=self.int8_swin,
+            attn_layout=self.attn_layout,
             attn_pack=self.attn_pack,
             attn_pack_shifted=self.attn_pack_shifted,
             dtype=self.dtype)

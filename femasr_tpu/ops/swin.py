@@ -104,6 +104,35 @@ def _pack_shift_mask(mask: np.ndarray, p: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def shift_window_permutation(h: int, w: int, window_size: int,
+                             shift_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Token permutation mapping the unshifted window partition of x onto
+    the window partition of roll(x, (-shift, -shift)).
+
+    Lets SW-MSA run on a window-major (B*nW, N, C) tensor without ever
+    materializing the spatial layout: one static row gather replaces the
+    roll + window_partition copies (and its inverse replaces
+    window_reverse + roll-back). Trace-time numpy, baked as a constant —
+    same policy as shifted_window_mask. Returns (perm, inv) int32 of
+    shape (H*W,): y_win.reshape(-1, C)[j] = x_win.reshape(-1, C)[perm[j]].
+    """
+    idx = np.arange(h * w).reshape(h, w)
+
+    def part(a: np.ndarray) -> np.ndarray:
+        return (a.reshape(h // window_size, window_size,
+                          w // window_size, window_size)
+                .transpose(0, 2, 1, 3).reshape(-1))
+
+    part0 = part(idx)
+    inv0 = np.empty_like(part0)
+    inv0[part0] = np.arange(part0.size)
+    perm = inv0[part(np.roll(idx, (-shift_size, -shift_size), (0, 1)))]
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return perm.astype(np.int32), inv.astype(np.int32)
+
+
 def window_partition(x: jax.Array, window_size: int) -> jax.Array:
     """(B, H, W, C) -> (B*nW, ws*ws, C)."""
     b, h, w, c = x.shape
@@ -423,16 +452,23 @@ class SwinTransformerBlock(nn.Module):
     int8_linears: bool = False
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """x: (B, H, W, C)."""
-        b, h, w, c = x.shape
-
+    def _clamped(self) -> Tuple[int, int]:
         window_size = self.window_size
         shift_size = self.shift_size
         if min(self.input_resolution) <= window_size:
             shift_size = 0
             window_size = min(self.input_resolution)
+        return window_size, shift_size
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 hw: Optional[Tuple[int, int]] = None) -> jax.Array:
+        """x: (B, H, W, C) spatial — or (B*nW, N, C) window-major when `hw`
+        (the static spatial resolution) is given; see BasicLayer."""
+        window_size, shift_size = self._clamped()
+        if hw is not None:
+            return self._winmajor(x, hw, window_size, shift_size)
+        b, h, w, c = x.shape
 
         shortcut = x
         x = LayerNormTPU(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
@@ -469,6 +505,55 @@ class SwinTransformerBlock(nn.Module):
                 dtype=self.dtype, name='mlp')(y)
         return x + y
 
+    def _winmajor(self, x: jax.Array, hw: Tuple[int, int],
+                  window_size: int, shift_size: int) -> jax.Array:
+        """Window-major block body: x stays (B*nW, N, C) end-to-end.
+
+        The residual stream never round-trips through the spatial layout
+        (LN / MLP / residual adds are per-token, so they commute with the
+        partition); the SW-MSA cyclic shift becomes a static row gather
+        (shift_window_permutation) instead of roll + partition + reverse +
+        roll-back. Bit-identical math to the spatial path — same submodule
+        names, so the param tree is unchanged. Motivation: the 2026-08-17
+        per-op HLO attribution showed ~0.77 GB/block of layout staging
+        copies around the partition boundaries on the 512px serving
+        program (18.4 GB of its 97.9 GB total).
+        """
+        h, w = hw
+        b_, n, c = x.shape
+        nw = (h // window_size) * (w // window_size)
+        b = b_ // nw
+
+        shortcut = x
+        y = LayerNormTPU(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
+
+        if shift_size > 0:
+            perm, inv = shift_window_permutation(h, w, window_size,
+                                                 shift_size)
+            y = jnp.take(y.reshape(b, nw * n, c), jnp.asarray(perm),
+                         axis=1).reshape(b_, n, c)
+
+        mask = (shifted_window_mask(h, w, window_size, shift_size)
+                if shift_size > 0 else None)
+        y = WindowAttention(
+            dim=self.dim, window_size=(window_size, window_size),
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, backend='xla',
+            pack=self.attn_pack, pack_shifted=self.attn_pack_shifted,
+            int8_linears=self.int8_linears,
+            dtype=self.dtype, name='attn')(y, mask=mask, n_windows=nw)
+
+        if shift_size > 0:
+            y = jnp.take(y.reshape(b, nw * n, c), jnp.asarray(inv),
+                         axis=1).reshape(b_, n, c)
+
+        x = shortcut + y
+        y = LayerNormTPU(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
+        y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
+                out_features=self.dim, int8=self.int8_linears,
+                dtype=self.dtype, name='mlp')(y)
+        return x + y
+
 
 class BasicLayer(nn.Module):
     """depth x SwinTransformerBlock with alternating shift 0 / ws//2.
@@ -485,6 +570,11 @@ class BasicLayer(nn.Module):
     qk_scale: Optional[float] = None
     use_checkpoint: bool = False
     attn_backend: str = 'xla'
+    # 'spatial': each block round-trips (B,H,W,C) <-> windows.
+    # 'winmajor': partition once, run every block window-major (shifts as
+    # static row gathers), reverse once before the RSTB conv. Bit-exact;
+    # selectable via FEMASR_SWIN_LAYOUT for byte A/Bs.
+    attn_layout: str = 'spatial'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
     int8_linears: bool = False
@@ -494,10 +584,22 @@ class BasicLayer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         # use_checkpoint -> jax.checkpoint (rematerialization): trade FLOPs
         # for HBM, the TPU analogue of torch.utils.checkpoint.
-        block_cls = (nn.remat(SwinTransformerBlock) if self.use_checkpoint
-                     else SwinTransformerBlock)
+        layout = os.environ.get('FEMASR_SWIN_LAYOUT', self.attn_layout)
+        backend = os.environ.get('FEMASR_ATTN', self.attn_backend)
+        winmajor = layout == 'winmajor' and backend != 'nhwc'
+        block_cls = (nn.remat(SwinTransformerBlock,
+                              static_argnums=(2,) if winmajor else ())
+                     if self.use_checkpoint else SwinTransformerBlock)
+        b, h, w, c = x.shape
+        if winmajor:
+            # the per-block window clamp is resolution-static — compute it
+            # once here so partition/reverse use the effective size
+            ws = (min(self.input_resolution)
+                  if min(self.input_resolution) <= self.window_size
+                  else self.window_size)
+            x = window_partition(x, ws)
         for i in range(self.depth):
-            x = block_cls(
+            blk = block_cls(
                 dim=self.dim, input_resolution=self.input_resolution,
                 num_heads=self.num_heads, window_size=self.window_size,
                 shift_size=0 if (i % 2 == 0) else self.window_size // 2,
@@ -506,7 +608,10 @@ class BasicLayer(nn.Module):
                 attn_pack=self.attn_pack,
                 attn_pack_shifted=self.attn_pack_shifted,
                 int8_linears=self.int8_linears,
-                dtype=self.dtype, name=f'blocks_{i}')(x)
+                dtype=self.dtype, name=f'blocks_{i}')
+            x = blk(x, (h, w)) if winmajor else blk(x)
+        if winmajor:
+            x = window_reverse(x, ws, h, w)
         return x
 
 
@@ -527,6 +632,7 @@ class RSTB(nn.Module):
     qk_scale: Optional[float] = None
     use_checkpoint: bool = False
     attn_backend: str = 'xla'
+    attn_layout: str = 'spatial'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
     int8_linears: bool = False
@@ -540,6 +646,7 @@ class RSTB(nn.Module):
                        qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                        use_checkpoint=self.use_checkpoint,
                        attn_backend=self.attn_backend,
+                       attn_layout=self.attn_layout,
                        attn_pack=self.attn_pack,
                        attn_pack_shifted=self.attn_pack_shifted,
                        int8_linears=self.int8_linears,
@@ -560,6 +667,7 @@ class SwinLayers(nn.Module):
     mlp_ratio: float = 4.0
     use_checkpoint: bool = False
     attn_backend: str = 'xla'
+    attn_layout: str = 'spatial'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
     # w8a8 int8 qkv/proj/fc1/fc2 linears (~96% of swin FLOPs; the v5e
@@ -579,6 +687,7 @@ class SwinLayers(nn.Module):
                      window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                      use_checkpoint=self.use_checkpoint,
                      attn_backend=self.attn_backend,
+                     attn_layout=self.attn_layout,
                      attn_pack=self.attn_pack,
                      attn_pack_shifted=self.attn_pack_shifted,
                      int8_linears=self.int8_linears,

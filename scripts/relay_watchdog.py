@@ -122,6 +122,13 @@ AGENDA = [
     # fresh headline number on the qkv program (cache now warm: fast)
     ('bench_qkv', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
+    # window-major swin residual groups (partition once per RSTB; SW-MSA
+    # shift = static row gather): kills the per-block partition/reverse
+    # staging copies — 18.4 GB of no-metadata copy traffic attributed
+    # inside blocks_1 on the 97.9 GB dump. Bit-exact (test_parity_ops).
+    ('hlo_bytes_winmajor', [PY, 'scripts/byte_probe.py', '512', '1',
+                            '--set', 'FEMASR_SWIN_LAYOUT=winmajor'],
+     880, None, False),
     # warm the driver-bench ladder's remaining compile-cache entries
     # (compile-only)
     ('hlo_bytes_warm256', [PY, 'scripts/byte_probe.py', '256', '1'],

@@ -307,3 +307,60 @@ def test_window_attention_nhwc_exact(shift):
                     jax.tree_util.tree_leaves(g_base)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize('shape,ws,depth', [
+    ((2, 16, 16, 16), 8, 4),   # shifted blocks present (depth 4)
+    ((1, 8, 8, 16), 8, 2),     # res == ws: clamp branch, shift forced 0
+])
+def test_winmajor_layout_exact(shape, ws, depth):
+    """attn_layout='winmajor' keeps the residual stream window-major across
+    the whole BasicLayer (SW-MSA shifts become static row gathers via
+    shift_window_permutation) — outputs, grads, and the param tree must be
+    BIT-identical to the per-block spatial round-trip formulation."""
+    from femasr_tpu.ops import BasicLayer
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    kw = dict(dim=shape[-1], input_resolution=shape[1:3], depth=depth,
+              num_heads=4, window_size=ws)
+    base = BasicLayer(**kw)
+    winm = BasicLayer(**kw, attn_layout='winmajor')
+    params = base.init(jax.random.PRNGKey(0), x)['params']
+    assert (jax.tree_util.tree_structure(
+        winm.init(jax.random.PRNGKey(0), x)['params'])
+        == jax.tree_util.tree_structure(params))
+
+    ref = np.asarray(base.apply({'params': params}, x))
+    out = np.asarray(winm.apply({'params': params}, x))
+    assert (out == ref).all(), np.abs(out - ref).max()
+
+    def loss(fn):
+        def inner(p):
+            return jnp.sum(jnp.tanh(fn.apply({'params': p}, x)))
+        return inner
+    g_ref = jax.grad(loss(base))(params)
+    g_out = jax.grad(loss(winm))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_out)):
+        # forward is bit-exact; grads see f32 reduction-order noise only
+        # (gather-transpose scatters vs roll-transpose rolls; measured
+        # worst 8e-7 relative)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5 * max(
+                                       1.0, float(np.abs(np.asarray(a)).max())))
+
+
+def test_shift_window_permutation_roundtrip():
+    """perm/inv are exact inverses and reproduce roll + window_partition."""
+    from femasr_tpu.ops.swin import (shift_window_permutation,
+                                     window_partition)
+    h, w, ws, s = 16, 24, 4, 2
+    perm, inv = shift_window_permutation(h, w, ws, s)
+    assert (perm[inv] == np.arange(h * w)).all()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, h, w, 3)).astype(np.float32))
+    ref = window_partition(jnp.roll(x, (-s, -s), axis=(1, 2)), ws)
+    got = window_partition(x, ws).reshape(h * w, 3)[perm].reshape(
+        ref.shape)
+    assert (np.asarray(got) == np.asarray(ref)).all()

@@ -208,6 +208,13 @@ AGENDA = [
                           '--batch', '8', '--dtype', 'bfloat16', '--chain',
                           '8', '--iters', '16', '--device-data'], 700,
      None, False),
+    # batch-1 train step: decisive test of the batch-interleave-layout
+    # hypothesis for the 2%-MFU step (b2 serving showed 1.7-1.9x
+    # per-pixel byte inflation at batch>=2; if b1 per-sample step time
+    # is ~linear-better, conv layouts are the cause, else structural)
+    ('train_b1', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                  '--batch', '1', '--dtype', 'bfloat16', '--chain', '8',
+                  '--iters', '16', '--device-data'], 700, None, False),
     ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
     # unchained-vs-chained per-step comparison (H2D story already
     # explained the 18 s anomaly; this is now low-priority attribution)

@@ -42,6 +42,27 @@ CANVAS_SCALES = (0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
 MAX_KSIZE = 25
 
 
+def _as_fast_key(key: jax.Array) -> jax.Array:
+    """Re-wrap an incoming (threefry) PRNG key as an 'rbg' key.
+
+    The pipeline makes ~30 tiny random draws per step (op order, kernel
+    params, qualities, probabilities). Each threefry draw lowers to a
+    ~25-instruction scalar hash chain; inside the jitted train step these
+    serialize (measured 2026-08-17: ~1.5K xor/shift/or entry instructions
+    in the b8 step HLO). The 'rbg' impl lowers every draw to ONE
+    RngBitGenerator instruction on TPU. Only the stream changes, never
+    the distributions — degradation randomness is a distribution spec,
+    not a bit spec (tests/test_degradations_jax.py is statistical).
+    """
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    else:
+        data = key
+    data = jnp.asarray(data, jnp.uint32).reshape(-1)
+    reps = -(-4 // data.shape[0])
+    return jax.random.wrap_key_data(jnp.tile(data, reps)[:4], impl='rbg')
+
+
 # ---------------------------------------------------------------------------
 # kernels (closed-form, batched, on device)
 # ---------------------------------------------------------------------------
@@ -276,6 +297,7 @@ def degradation_bsrgan_jax(key: jax.Array, gt: jax.Array, sf: int = 4
     hq = gt
     img = gt
 
+    key = _as_fast_key(key)
     (k_order, k_pre, k_premeth, k_blur1, k_blur2, k_resz, k_reszmeth,
      k_down, k_noise, k_jpg, k_jpgp, k_final, k_fmeth) = jax.random.split(
          key, 13)

@@ -129,6 +129,11 @@ AGENDA = [
     ('hlo_bytes_winmajor', [PY, 'scripts/byte_probe.py', '512', '1',
                             '--set', 'FEMASR_SWIN_LAYOUT=winmajor'],
      880, None, False),
+    # wall-clock of the winmajor program (cache warm from the byte probe;
+    # if the byte probe says winmajor loses, mark this done in STATE_FILE)
+    ('bench_winmajor', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_SWIN_LAYOUT': 'winmajor'},
+     False),
     # warm the driver-bench ladder's remaining compile-cache entries
     # (compile-only)
     ('hlo_bytes_warm256', [PY, 'scripts/byte_probe.py', '256', '1'],

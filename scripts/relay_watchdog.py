@@ -206,6 +206,21 @@ AGENDA = [
                           '--batch', '8', '--dtype', 'bfloat16', '--chain',
                           '8', '--iters', '16', '--device-data',
                           '--no-degrade'], 600, None, False),
+    # compile-only warm + byte-cost of the NEW train programs (post qkv
+    # slicing + rbg degradation RNG). Co-runnable with pytest; warms the
+    # chained-program cache the wall-clock phases below depend on. The
+    # old program was 93.78 GB (cost_analysis) with ~66 GB of async swin
+    # activation staging in the tool's accounting — the qkv fix kills
+    # the [128,64,3,8,32] reshape family outright.
+    ('train_bytes_new', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                         '--batch', '8', '--dtype', 'bfloat16', '--chain',
+                         '8', '--compile-only', '--dump-hlo',
+                         '/tmp/hlo_tpu_train_b8_v2.txt'], 900, None, False),
+    # winmajor swin layout on the train step (byte A/B, compile-only)
+    ('train_bytes_winmajor', [PY, 'scripts/train_step_probe.py', '--gt',
+                              '256', '--batch', '8', '--dtype', 'bfloat16',
+                              '--compile-only'], 900,
+     {'FEMASR_SWIN_LAYOUT': 'winmajor'}, False),
     # wall-clock of the NEW (chanraw+LNTPU+tc) step program WITH the
     # degradation pipeline: the 2224 ms/step 2%-MFU number was measured
     # on the old 590-GB-era code; the new program's roofline is 114.5 ms

@@ -167,6 +167,17 @@ logger: {{print_freq: 1, use_tb_logger: false}}
         lq_a = jnp.asarray(np.asarray(batch(0)['lq']))
         gt_a = jnp.asarray(np.asarray(batch(0)['gt']))
         t0 = time.perf_counter()
+        if args.chain > 1:
+            # warm/cost the CHAINED program (lax.scan over K steps) —
+            # the expensive compile the wall-clock --chain phases need
+            k = args.chain
+            lq_s = jnp.stack([lq_a] * k)
+            gt_s = jnp.stack([gt_a] * k)
+            c = model._train_chain.lower(model.state, lq_s, gt_s,
+                                         model.params_hq).compile()
+            print(f'chain{k} compile: {time.perf_counter() - t0:.1f}s',
+                  flush=True)
+            t0 = time.perf_counter()
         c = model._train_step.lower(model.state, lq_a, gt_a,
                                     model.params_hq).compile()
         print(f'step compile: {time.perf_counter() - t0:.1f}s', flush=True)

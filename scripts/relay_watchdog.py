@@ -239,6 +239,19 @@ AGENDA = [
     # a b8 step — the designed fix if train_b1 confirms the batch-
     # interleave layout pathology. Byte A/B first (compile-only,
     # co-runnable), wall-clock after (cache then warm).
+    # state round-trip probe: a donated TrainState->TrainState dispatch
+    # with ~zero compute. If it costs ~seconds, the relay ships the full
+    # optimizer state per execute call and the 2224 ms/step chained number
+    # is dispatch overhead, not compute — the decisive discriminator for
+    # the 2%-MFU question (compile is seconds; safe even degraded).
+    ('train_state_probe', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                           '--batch', '8', '--dtype', 'bfloat16',
+                           '--state-probe'], 560, None, False),
+    # batches generated INSIDE the scan body (zero H2D, no xs stacks):
+    # state round-trip amortized 32-fold -> the honest device MFU number
+    ('train_gen32', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                     '--batch', '8', '--dtype', 'bfloat16', '--gen-chain',
+                     '32', '--iters', '64'], 900, None, False),
     ('train_bytes_accum8', [PY, 'scripts/train_step_probe.py', '--gt',
                             '256', '--batch', '8', '--dtype', 'bfloat16',
                             '--chain', '8', '--accum', '8',
@@ -246,6 +259,13 @@ AGENDA = [
     ('train_accum8', [PY, 'scripts/train_step_probe.py', '--gt', '256',
                       '--batch', '8', '--dtype', 'bfloat16', '--chain', '8',
                       '--iters', '16', '--device-data', '--accum', '8'],
+     700, None, False),
+    # flat (raveled) Adam: kills the ~3.3K tiny per-tensor update/staging
+    # instructions in the chained step program (CPU instr-count A/B runs
+    # offline; this is the device wall-clock check)
+    ('train_flat8', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                     '--batch', '8', '--dtype', 'bfloat16', '--chain', '8',
+                     '--iters', '16', '--device-data', '--flat-opt'],
      700, None, False),
     ('int8_conv', [PY, 'scripts/int8_conv_probe.py'], 560, None, False),
     # unchained-vs-chained per-step comparison (H2D story already

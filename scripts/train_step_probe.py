@@ -16,6 +16,23 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 
+def _entry_instrs(compiled):
+    """Entry-computation instruction count — the A/B currency for
+    serialization-overhead levers (flat_optimizer, rbg degradation RNG):
+    the round-3 train dump ran 19x its HBM roofline with ~23K entry
+    instructions, so instruction count is a first-class suspect."""
+    n, in_entry = 0, False
+    for line in compiled.as_text().splitlines():
+        if line.startswith('ENTRY'):
+            in_entry = True
+        elif in_entry:
+            if line.startswith('}'):
+                break
+            if ' = ' in line:
+                n += 1
+    return n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--gt', type=int, default=256)
@@ -44,6 +61,21 @@ def main():
     ap.add_argument('--dump-hlo', default=None,
                     help='write the single-step program HLO here (for '
                          'scripts/hlo_bytes.py offline attribution)')
+    ap.add_argument('--accum', type=int, default=1,
+                    help='grad_accum_chunks: microbatched G/D step '
+                         '(batch-1 conv layouts when == batch)')
+    ap.add_argument('--flat-opt', action='store_true',
+                    help='flat_optimizer: one raveled Adam vector per '
+                         'moment instead of ~400 per-tensor chains')
+    ap.add_argument('--state-probe', action='store_true',
+                    help='time a trivial donated state->state dispatch '
+                         '(step+1 only): isolates the relay per-dispatch '
+                         'TrainState round-trip from step compute')
+    ap.add_argument('--gen-chain', type=int, default=0,
+                    help='>1: K steps per dispatch with batches GENERATED '
+                         'inside the scan body (zero H2D, zero xs stacks) '
+                         '— the state round-trip amortizes K-fold; the '
+                         'honest device MFU number on this relay')
     ap.add_argument('--compile-only', action='store_true',
                     help='compile + cost-report the step program, no '
                          'execution (safe on a flapping relay once the '
@@ -115,6 +147,8 @@ logger: {{print_freq: 1, use_tb_logger: false}}
         opt['path']['models'] = f'{tmp}/models'
         opt['path']['training_states'] = f'{tmp}/states'
         opt['path']['visualization'] = f'{tmp}/vis'
+        opt['train']['grad_accum_chunks'] = args.accum
+        opt['train']['flat_optimizer'] = args.flat_opt
         return opt
 
     if not args.hq:
@@ -162,6 +196,85 @@ logger: {{print_freq: 1, use_tb_logger: false}}
     if args.device_data:
         stage += ' device-data'
 
+    if args.state_probe:
+        # decisive cheap test of the state-round-trip hypothesis for the
+        # 2%-MFU chained step (NOTES_ROUND3.md window 4): a donated
+        # TrainState -> TrainState dispatch with ~zero compute. If this
+        # costs ~seconds, the relay ships the full optimizer state per
+        # execute call and per-dispatch overhead — not step compute — is
+        # the wall-clock; the fix is amortization (large --gen-chain K).
+        import jax
+        nbytes = sum(a.nbytes for a in jax.tree.leaves(model.state)) / 1e9
+        bump = jax.jit(lambda st: st.replace(step=st.step + 1),
+                       donate_argnums=(0,))
+        t0 = time.perf_counter()
+        st = bump(model.state)
+        _ = int(jax.device_get(st.step))   # host fetch = real sync here
+        print(f'state-probe compile+1: {time.perf_counter() - t0:.2f}s '
+              f'(state {nbytes:.2f} GB)', flush=True)
+        for i in range(4):
+            t0 = time.perf_counter()
+            st = bump(st)
+            _ = int(jax.device_get(st.step))
+            print(f'state-probe dispatch {i}: '
+                  f'{time.perf_counter() - t0:.3f}s', flush=True)
+        model.state = st
+        return
+
+    if args.gen_chain > 1:
+        # K steps per dispatch with the batches synthesized INSIDE the
+        # scan body (jax.random keyed off the scan index + a per-dispatch
+        # base so the relay's identical-dispatch value cache misses):
+        # no xs stacks, no H2D, state round-trip amortized K-fold — the
+        # honest device-compute number for the G+D step.
+        import jax
+        import jax.numpy as jnp
+        K = args.gen_chain
+        B = args.batch
+        inner = model._train_step   # jitted; inlines when traced
+
+        def gen_chain(state, params_hq, base):
+            def body(st, i):
+                kk = jax.random.fold_in(jax.random.PRNGKey(7), base + i)
+                lq_a = jax.random.uniform(jax.random.fold_in(kk, 1),
+                                          (B, lq, lq, 3), jnp.float32)
+                gt_a = jax.random.uniform(jax.random.fold_in(kk, 2),
+                                          (B, gt, gt, 3), jnp.float32)
+                st, loss_dict, _ = inner(st, lq_a, gt_a, params_hq)
+                return st, loss_dict['l_g_total']
+            return jax.lax.scan(body, state, jnp.arange(K))
+
+        f = jax.jit(gen_chain, donate_argnums=(0,))
+        t0 = time.perf_counter()
+        st, ls = f(model.state, model.params_hq, jnp.int32(0))
+        l_last = float(ls[-1])
+        print(f'gen-chain{K} compile+1: {time.perf_counter() - t0:.1f}s '
+              f'l_g_total={l_last:.3f}', flush=True)
+        n_disp = max(1, args.iters // K)
+        t0 = time.perf_counter()
+        for d in range(n_disp):
+            st, ls = f(st, model.params_hq, jnp.int32((d + 1) * K))
+            l_last = float(ls[-1])   # host fetch syncs the dispatch
+        dt = (time.perf_counter() - t0) / (n_disp * K)
+        model.state = st
+        msg = (f'{stage} gt={gt} batch={B} dtype={args.dtype} '
+               f'gen-chain={K}: {dt * 1e3:.0f} ms/step -> {B / dt:.2f} '
+               f'img/s')
+        try:
+            lq_a = jnp.zeros((B, lq, lq, 3), jnp.float32)
+            gt_a = jnp.zeros((B, gt, gt, 3), jnp.float32)
+            ca = model._train_step.lower(
+                st, lq_a, gt_a, model.params_hq).compile().cost_analysis()
+            if ca and 'flops' in ca:
+                fl = float(ca['flops'])
+                msg += (f', {fl / 1e12:.2f} TFLOP/step -> '
+                        f'{fl / dt / 1e12:.1f} TFLOP/s '
+                        f'({fl / dt / 197e12 * 100:.0f}% MFU of v5e bf16)')
+        except Exception:
+            pass
+        print(msg, flush=True)
+        return
+
     if args.compile_only:
         import jax.numpy as jnp
         lq_a = jnp.asarray(np.asarray(batch(0)['lq']))
@@ -173,10 +286,10 @@ logger: {{print_freq: 1, use_tb_logger: false}}
             k = args.chain
             lq_s = jnp.stack([lq_a] * k)
             gt_s = jnp.stack([gt_a] * k)
-            c = model._train_chain.lower(model.state, lq_s, gt_s,
-                                         model.params_hq).compile()
-            print(f'chain{k} compile: {time.perf_counter() - t0:.1f}s',
-                  flush=True)
+            cc = model._train_chain.lower(model.state, lq_s, gt_s,
+                                          model.params_hq).compile()
+            print(f'chain{k} compile: {time.perf_counter() - t0:.1f}s, '
+                  f'{_entry_instrs(cc)} entry instructions', flush=True)
             t0 = time.perf_counter()
         c = model._train_step.lower(model.state, lq_a, gt_a,
                                     model.params_hq).compile()
@@ -190,6 +303,8 @@ logger: {{print_freq: 1, use_tb_logger: false}}
             print(f'step program: {byts / 1e9:.2f} GB accessed -> '
                   f'HBM roofline {byts / 819e9 * 1e3:.1f} ms/step',
                   flush=True)
+        print(f'step program: {_entry_instrs(c)} entry instructions',
+              flush=True)
         if args.dump_hlo:
             with open(args.dump_hlo, 'w') as f:
                 f.write(c.as_text())

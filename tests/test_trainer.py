@@ -551,3 +551,120 @@ def test_chained_steps_match_sequential(data_root, tmp_path_factory):
     vis = m_chain.get_current_visuals()
     assert 'result' in vis and np.all(np.isfinite(vis['result']))
     assert vis['result'].shape[1:] == (64, 64, 3)
+
+
+def test_grad_accum_matches_monolithic(hq_run, data_root, tmp_path_factory):
+    """grad_accum_chunks=K (microbatched G+D step, femasr_model.py
+    _build_train_step) must reproduce the monolithic step's training
+    trajectory: every loss term is a per-sample mean, GroupNorm is
+    per-sample, and the spectral-norm power iteration is data-free, so
+    chunk-mean gradients equal batch gradients up to fp reassociation
+    (Adam then amplifies near-zero-v elements — tolerances mirror
+    test_chained_steps_match_sequential)."""
+    _, _, _, hq_exp = hq_run
+
+    def fresh(name, accum):
+        exp = str(tmp_path_factory.mktemp(name))
+        opt = _base_opt(data_root, name)
+        opt['network_g']['LQ_stage'] = True
+        opt['network_g']['scale_factor'] = 4
+        opt['network_g']['frozen_module_keywords'] = [
+            'quantize', 'decoder', 'after_quant_group', 'out_conv']
+        opt['path']['pretrain_network_hq'] = os.path.join(
+            hq_exp, 'models', 'net_g_3.ckpt')
+        opt['train']['grad_accum_chunks'] = accum
+        model, _ = _mk_model(opt, exp)
+        return model
+
+    rng = np.random.default_rng(5)
+    batch = {'lq': rng.random((2, 16, 16, 3)).astype(np.float32),
+             'gt': rng.random((2, 64, 64, 3)).astype(np.float32)}
+
+    logs = {}
+    models = {}
+    for accum in (1, 2):
+        m = fresh(f'accum{accum}', accum)
+        runlog = []
+        for it in range(1, 4):
+            m.feed_data(batch)
+            m.optimize_parameters(it)
+            runlog.append(m.get_current_log())
+        logs[accum], models[accum] = runlog, m
+
+    for step_a, step_b in zip(logs[1], logs[2]):
+        for k in ('l_g_total', 'l_pix', 'l_codebook', 'l_g_gan',
+                  'l_d_real', 'l_d_fake', 'codebook_perplexity'):
+            assert k in step_a, k
+            np.testing.assert_allclose(step_a[k], step_b[k], rtol=2e-3,
+                                       atol=1e-4, err_msg=k)
+
+    for a, b in zip(jax.tree.leaves(models[1].state.params_g),
+                    jax.tree.leaves(models[2].state.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=5e-4)
+    for a, b in zip(jax.tree.leaves(models[1].state.params_d),
+                    jax.tree.leaves(models[2].state.params_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=5e-4)
+    # spectral u/v stores must track (the iteration is data-free, but from
+    # step 2 on u/v iterate on params_d that already carry the chunked
+    # path's fp-reassociation noise — same tolerance as the params)
+    for a, b in zip(jax.tree.leaves(models[1].state.spectral),
+                    jax.tree.leaves(models[2].state.spectral)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=5e-4)
+    # non-divisible accum falls back to the monolithic path silently
+    m = fresh('accum3', 3)
+    m.feed_data(batch)
+    m.optimize_parameters(1)
+    assert np.isfinite(m.get_current_log()['l_g_total'])
+
+
+def test_flat_optimizer_matches_per_tensor(hq_run, data_root,
+                                           tmp_path_factory):
+    """flat_optimizer (optax.flatten-wrapped Adam + optax.masked freeze,
+    femasr_model.py optimizer setup) must reproduce the per-tensor
+    multi_transform trajectory exactly: raveling is a memory reordering
+    and Adam has no cross-element coupling, so every update is the same
+    elementwise computation. Frozen tensors must stay bit-identical."""
+    _, _, _, hq_exp = hq_run
+
+    def fresh(name, flat):
+        exp = str(tmp_path_factory.mktemp(name))
+        opt = _base_opt(data_root, name)
+        opt['network_g']['LQ_stage'] = True
+        opt['network_g']['scale_factor'] = 4
+        opt['network_g']['frozen_module_keywords'] = [
+            'quantize', 'decoder', 'after_quant_group', 'out_conv']
+        opt['path']['pretrain_network_hq'] = os.path.join(
+            hq_exp, 'models', 'net_g_3.ckpt')
+        opt['train']['flat_optimizer'] = flat
+        model, _ = _mk_model(opt, exp)
+        return model
+
+    rng = np.random.default_rng(11)
+    batch = {'lq': rng.random((2, 16, 16, 3)).astype(np.float32),
+             'gt': rng.random((2, 64, 64, 3)).astype(np.float32)}
+
+    models = {}
+    logs = {}
+    for flat in (False, True):
+        m = fresh(f'flat{int(flat)}', flat)
+        for it in range(1, 3):
+            m.feed_data(batch)
+            m.optimize_parameters(it)
+        logs[flat] = m.get_current_log()
+        models[flat] = m
+
+    for k in ('l_g_total', 'l_pix', 'l_codebook', 'l_d_real', 'l_d_fake'):
+        np.testing.assert_allclose(logs[False][k], logs[True][k],
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    flat_ref = jax.tree.leaves(models[False].state.params_g)
+    flat_new = jax.tree.leaves(models[True].state.params_g)
+    for a, b in zip(flat_ref, flat_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(models[False].state.params_d),
+                    jax.tree.leaves(models[True].state.params_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

@@ -134,6 +134,12 @@ AGENDA = [
     ('bench_winmajor', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_SWIN_LAYOUT': 'winmajor'},
      False),
+    # per-op attribution + dump of the winmajor program (the next
+    # byte-hunt round's raw material, if winmajor wins the A/B)
+    ('hlo_bytes_tpu_wm', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',
+                          '--scope-depth', '4',
+                          '--dump', '/tmp/hlo_tpu_512_b1_wm.txt'], 900,
+     {'FEMASR_SWIN_LAYOUT': 'winmajor'}, False),
     # warm the driver-bench ladder's remaining compile-cache entries
     # (compile-only)
     ('hlo_bytes_warm256', [PY, 'scripts/byte_probe.py', '256', '1'],

@@ -64,6 +64,36 @@ def _fail_json(reason):
         'vs_baseline': None}), flush=True)
 
 
+def _run_bounded(argv, budget_s, env=None):
+    """Run argv with a wall budget, TERM-first.
+
+    subprocess.run(timeout=) SIGKILLs on expiry — and a SIGKILLed process
+    abandons its in-flight TPU relay command mid-stream, which is the
+    documented wedge trigger (CLAUDE.md round-2 incident). TERM first gives
+    the JAX client a chance to close the relay connection; KILL only after
+    a grace period. Returns (returncode_or_None, stdout_text); returncode
+    is None when the budget expired.
+    """
+    p = subprocess.Popen(argv, cwd=HERE, env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    try:
+        out, err = p.communicate(timeout=budget_s)
+        return p.returncode, out, err
+    except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            p.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            p.kill()
+        # final communicate collects everything buffered before the kill
+        try:
+            out, err = p.communicate(timeout=10)
+        except Exception:
+            out, err = '', ''
+        return None, out or '', err or ''
+
+
 def main():
     deadline = time.monotonic() + TOTAL_BUDGET_S
 
@@ -107,45 +137,30 @@ def main():
         budget = remaining() if cap is None else min(cap, remaining())
         if budget < 30:
             break
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 '--child', str(tile)],
-                cwd=HERE, timeout=budget, capture_output=True, text=True)
-        except subprocess.TimeoutExpired as e:
+        env = dict(os.environ, FEMASR_BENCH_CHILD_BUDGET=str(int(budget)))
+        rc, out, err = _run_bounded(
+            [sys.executable, os.path.abspath(__file__),
+             '--child', str(tile)], budget, env=env)
+        if rc is None:
             print(f'# tile={tile} attempt timed out after {budget:.0f}s',
                   flush=True)
-            partial = e.stdout or ''
-            if isinstance(partial, bytes):
-                partial = partial.decode(errors='replace')
-            if partial:
-                sys.stdout.write(partial)
-            # the child emits a JSON line after EVERY completed batch
-            # measurement, so a stalled later compile (e.g. batch 2 on a
-            # degraded remote compile helper) cannot lose the result
-            jline = next((ln for ln in reversed(partial.splitlines())
-                          if ln.startswith('{')), None)
-            if jline:
-                try:
-                    json.loads(jline)
-                    best = jline
-                except ValueError:
-                    pass
-            continue
-        for line in r.stdout.splitlines():
+        for line in out.splitlines():
             if line.startswith('#'):
                 print(line, flush=True)
-        jline = next((ln for ln in reversed(r.stdout.splitlines())
+        # the child emits a JSON line after EVERY completed measurement,
+        # so a stalled later compile (e.g. the chained variant on a
+        # degraded remote compile helper) cannot lose the result
+        jline = next((ln for ln in reversed(out.splitlines())
                       if ln.startswith('{')), None)
-        if r.returncode == 0 and jline:
+        if jline:
             try:
                 json.loads(jline)
+                best = jline  # larger tiles overwrite smaller fallbacks
             except ValueError:
-                continue
-            best = jline  # larger tiles overwrite smaller fallbacks
-        else:
-            print(f'# tile={tile} attempt failed rc={r.returncode}: '
-                  f'{r.stderr[-200:]!r}', flush=True)
+                pass
+        if rc not in (0, None):
+            print(f'# tile={tile} attempt failed rc={rc}: '
+                  f'{err[-200:]!r}', flush=True)
     if best is not None:
         print(best, flush=True)
         return
@@ -154,6 +169,12 @@ def main():
 
 def _child(tile):
     """One bounded measurement at a single tile size. Prints one JSON line."""
+    t_child0 = time.monotonic()
+    child_budget = float(os.environ.get('FEMASR_BENCH_CHILD_BUDGET', 1e9))
+
+    def child_remaining():
+        return child_budget - (time.monotonic() - t_child0)
+
     import jax
 
     # persistent compilation cache: once a run has compiled successfully,
@@ -210,9 +231,19 @@ def _child(tile):
         }
         print(json.dumps(result), flush=True)
 
+    # batch ladder: batch 2 is a REPRODUCED loser at 256/512 (three
+    # independent runs 2026-08-17: 512px b2 1005/986/451 ms vs b1
+    # 306/306/160 — the batch-interleaved-layout pathology, see
+    # NOTES_ROUND3.md window 6) and its fresh compile costs 2-4 min on a
+    # degraded relay, so the headline tiles skip it and spend that budget
+    # on the chained variant instead. 128px keeps it (b2 measured FASTER
+    # there: 0.66 vs 0.43 MP/s — the per-dispatch floor dominates small
+    # tiles). FEMASR_BENCH_B2=1 restores the full ladder.
+    batches = ((1, 2) if tile == 128
+               or os.environ.get('FEMASR_BENCH_B2') == '1' else (1,))
     flops_per_tile = None
     best_mps, best_desc = 0.0, ''
-    for batch in (1, 2):
+    for batch in batches:
         try:
             compiled = forward.lower(
                 params, jnp.zeros((batch, tile, tile, 3),
@@ -263,6 +294,13 @@ def _child(tile):
     K = 8
     try:
         if tile != 512:
+            raise _SkipChain
+        if child_remaining() < 150:
+            # a chain compile on a degraded relay runs 2-4 min; starting
+            # one the parent will TERM mid-flight risks wedging the relay
+            # right at the driver's collection window
+            print(f'# chain skipped: {child_remaining():.0f}s left '
+                  '< 150s compile reserve', flush=True)
             raise _SkipChain
         @jax.jit
         def forward_chain(params, xs):

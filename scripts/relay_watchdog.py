@@ -32,7 +32,50 @@ PY = sys.executable
 # Priority-ordered for SCARCE healthy windows (~3 per 4 h observed):
 # decision-making levers first (each directly changes the shipped default
 # or produces a VERDICT done-criterion number), attribution/diagnosis after.
+#
+# ROUND 4 agenda. Context (recovered from the 2026-08-19 01:54-02:30
+# watchdog run on this container): bench captured 1.669 MP/s vs_baseline
+# 1.112 (ladder caches warm); train_state_probe showed the donated
+# TrainState round-trip is 36 ms (state shipping is NOT the gap);
+# train_gen32 measured 6403 ms/step at 1% MFU with zero H2D — the step
+# program itself runs ~56x its 114.5 ms HBM roofline. Round-4 priorities:
+# (1) keep the bench banked+warm, (2) attribute the 56x with the segment
+# probe, (3) fresh HLO dumps for the swin byte hunt, (4) the bounded
+# Pallas attempt (VERDICT r3 #4) in the MIDDLE of the agenda so a wedge
+# has hours to recover before the driver's end-of-round collection.
 AGENDA = [
+    ('r4_bench', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
+    # fresh per-op attribution + full dump of the current 97.3 GB default
+    # program (offline swin byte-hunt raw material; compile-only, warm)
+    ('r4_hlo_dump', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',
+                     '--scope-depth', '4',
+                     '--dump', '/tmp/hlo_r4_b1.txt'], 880, None, False),
+    # training-step attribution (the 1%-MFU question): segments in rising
+    # compile-cost order; each phase independently useful
+    ('r4_seg_a', [PY, 'scripts/train_segment_probe.py',
+                  '--segments', 'deg,hq'], 880, None, False),
+    ('r4_seg_b', [PY, 'scripts/train_segment_probe.py',
+                  '--segments', 'g_fwd,g_grad'], 880, None, False),
+    ('r4_seg_c', [PY, 'scripts/train_segment_probe.py',
+                  '--segments', 'd_grad,adam'], 880, None, False),
+    ('r4_seg_full', [PY, 'scripts/train_segment_probe.py',
+                     '--segments', 'full'], 880, None, False),
+    # degradation share, directly: the gen-chain MFU probe minus the
+    # on-device BSRGAN pipeline
+    ('r4_gen32_nodeg', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                        '--batch', '8', '--dtype', 'bfloat16',
+                        '--no-degrade', '--gen-chain', '32',
+                        '--iters', '64'], 900, None, False),
+    # winmajor full dump for the op-by-op diff vs /tmp/hlo_r4_b1.txt
+    # (VERDICT r3 weak#1: explain why the projected -10..12 GB vanished)
+    ('r4_hlo_dump_wm', [PY, 'scripts/hlo_bytes.py', '512', '--top', '40',
+                        '--scope-depth', '4',
+                        '--dump', '/tmp/hlo_r4_b1_wm.txt'], 880,
+     {'FEMASR_SWIN_LAYOUT': 'winmajor'}, False),
+]
+
+AGENDA_OLD_R3 = [
     # --- round-3 session-2 priorities -------------------------------------
     # The serving program runs at ~94% of HBM roofline (bench_bytes:
     # 171.6 GB -> 209.6 ms vs 224 ms healthy) — bytes are wall-clock.
@@ -289,6 +332,23 @@ AGENDA = [
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]
 
+PALLAS_CMD = [PY, '-c', (
+    'import jax, jax.numpy as jnp;'
+    'from femasr_tpu.ops.pallas.vq import vq_argmin;'
+    'f = jax.jit(vq_argmin);'
+    'c = f.lower(jnp.zeros((1024, 512), jnp.float32),'
+    '            jnp.zeros((1024, 512), jnp.float32)).compile();'
+    'print("PALLAS_COMPILE_OK");'
+    'import numpy as np;'
+    'z = jnp.asarray(np.random.default_rng(0).normal('
+    '    size=(1024, 512)), jnp.float32);'
+    'cb = jnp.asarray(np.random.default_rng(1).normal('
+    '    size=(1024, 512)), jnp.float32);'
+    'idx = np.asarray(f(z, cb));'
+    'ref = np.asarray(jnp.argmin('
+    '  jnp.sum((z[:, None, :] - cb[None]) ** 2, -1), 1));'
+    'print("PALLAS_EXEC_OK match:", (idx == ref).all())')]
+
 PALLAS_PHASE = ('pallas_vq_compile', [PY, '-c', (
     'import jax, jax.numpy as jnp;'
     'from femasr_tpu.ops.pallas.vq import vq_argmin;'
@@ -306,6 +366,16 @@ PALLAS_PHASE = ('pallas_vq_compile', [PY, '-c', (
     '  jnp.sum((z[:, None, :] - cb[None]) ** 2, -1), 1));'
     'print("PALLAS_EXEC_OK match:", (idx == ref).all())')], 300, None,
     False)
+
+# Round-4 tail: the bounded Pallas attempt (VERDICT r3 #4 — SINGLE
+# attempt, 300 s cap, placed after the info-critical phases but hours
+# before round end so a wedge can recover before the driver collects),
+# then repeating cache-warm benches.
+AGENDA += [
+    ('r4_pallas_vq', list(PALLAS_CMD), 300, None, False),
+    ('bench_warm', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
+]
 
 
 def load_state():
@@ -398,11 +468,19 @@ def main():
                                           PALLAS_PHASE[4]))
 
     MAX_ATTEMPTS = 3
+
+    def attempts_cap(name):
+        # the Pallas probe gets exactly ONE attempt (round-2 precedent:
+        # a TERM'd in-flight tpu_custom_call compile preceded multi-hour
+        # relay outages; retrying multiplies the wedge risk for zero
+        # extra information)
+        return 1 if 'pallas' in name else MAX_ATTEMPTS
+
     while time.time() - t0 < budget:
         pending = [ph for ph in agenda
                    if ph[4] or (ph[0] not in state['done']
                                 and state['attempts'].get(ph[0], 0)
-                                < MAX_ATTEMPTS)]
+                                < attempts_cap(ph[0]))]
         if not pending:
             print('agenda complete', flush=True)
             return

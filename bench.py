@@ -223,7 +223,8 @@ def _child(tile):
             'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
             'value': round(best_mps, 3),
             'unit': (f'MP/s (input pixels), bf16, {best_desc}, vs '
-                     'bottom-up 1.5 MP/s H100-PyTorch-eager baseline'
+                     'bottom-up 1.5 MP/s H100-PyTorch-eager baseline '
+                     '(estimate, +-35% — derivation in BASELINE.md)'
                      + flag_note
                      + ('' if tile == 512 else
                         f', FALLBACK {tile}px tiles (512px failed on this '

@@ -456,7 +456,15 @@ def conv3_w8a8(x: jax.Array, kernel: jax.Array,
     x: (B, H, W, I); kernel: (3, 3, I, O) float (the SAME parameter as
     the plain conv path — quantization happens on the fly, so int8 mode
     is checkpoint-free). Returns (B, H, W, O) in x.dtype.
+
+    FEMASR_INT8_BACKEND=pallas routes through the fused Pallas kernel
+    (ops/pallas/int8_dense.py): same numerics, but quant/dequant/bias stay
+    in VMEM instead of costing extra HBM passes (XLA's int8 path measured
+    a 6.6% full-graph LOSS from exactly those passes, NOTES_ROUND3.md).
     """
+    if os.environ.get('FEMASR_INT8_BACKEND') == 'pallas':
+        from .pallas.int8_dense import conv3_w8a8 as _conv3_pallas
+        return _conv3_pallas(x, kernel, bias)
     kf = kernel.astype(jnp.float32)
     s_w = jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0        # (O,)
     s_w = jnp.maximum(s_w, 1e-12)
@@ -486,7 +494,13 @@ def dense_w8a8(x: jax.Array, kernel: jax.Array,
     per-output-channel (symmetric, static given params), activations
     per-tensor (symmetric, dynamic — one extra max-reduction). Returns
     (..., O) in x.dtype. Serving-only: no gradients.
+
+    FEMASR_INT8_BACKEND=pallas routes through the fused Pallas kernel
+    (see conv3_w8a8 docstring).
     """
+    if os.environ.get('FEMASR_INT8_BACKEND') == 'pallas':
+        from .pallas.int8_dense import matmul_w8a8 as _mm_pallas
+        return _mm_pallas(x, kernel, bias)
     kf = kernel.astype(jnp.float32)
     s_w = jnp.max(jnp.abs(kf), axis=0) / 127.0                # (O,)
     s_w = jnp.maximum(s_w, 1e-12)

@@ -1,0 +1,319 @@
+"""Fused Pallas TPU int8 (w8a8) matmul / 3x3-conv kernels.
+
+Round-3 measured XLA's int8 path LOSING 6.6% wall-clock on the full graph
+(NOTES_ROUND3.md window 3): the quantize/dequantize epilogues each cost a
+full HBM pass over the activations, which on an HBM-bound program eats more
+than the int8 MXU (2x bf16 TOPS on v5e) saves. These kernels fuse the whole
+pipeline into VMEM so activations cross HBM exactly twice (read bf16 input,
+write bf16 output):
+
+    load bf16 tile -> quantize int8 (VPU) -> int8 MXU dot (int32 acc)
+    -> dequantize * (s_x * s_w[col]) + bias [+ activation] -> store bf16
+
+Numerics match the XLA w8a8 helpers (ops/layers.py conv3_w8a8/dense_w8a8):
+symmetric per-output-channel weight scales (static given params), symmetric
+per-tensor dynamic activation scale, round-half-even, int32 accumulation.
+Weight quantization stays in XLA — it is checkpoint-free (same float params
+as the plain path) and the weight tensors are tiny next to activations.
+
+Replaces, at int8 rate, the decoder-tail cuDNN convs of
+/root/reference/basicsr/archs/femasr_arch.py:195-211 and the Swin linears
+(qkv/proj/MLP) of /root/reference/basicsr/archs/network_swinir.py:114-145,
+via the same opt-in flags as the XLA path (int8_backend='pallas').
+
+Hardware validation (round 4, NOTES_ROUND4.md): the relay's AOT compiler
+DOES process tpu_custom_call (the round-2/3 "stall" was VQ-kernel-specific)
+— both kernels compile against the real Mosaic toolchain at model shapes,
+and matmul_w8a8 EXECUTED on the v5e bitwise-identical to the XLA w8a8 path.
+The Mosaic compiler also drove two fixes the interpret/lowering tests could
+not see: HBM->VMEM window copies must be (8,128)-tile-aligned (hence the
+channel/width padding below) and scoped VMEM is 16M (hence the budgeted
+row-strip height).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _quant_weights(kernel: jax.Array, reduce_axes) -> tuple:
+    """Symmetric per-output-channel int8 weights + f32 scales (XLA side).
+
+    Matches ops/layers.py:460-463 exactly so pallas/xla int8 backends are
+    bit-comparable.
+    """
+    kf = kernel.astype(jnp.float32)
+    s_w = jnp.max(jnp.abs(kf), axis=reduce_axes) / 127.0
+    s_w = jnp.maximum(s_w, 1e-12)
+    k_q = jnp.round(kf / s_w).astype(jnp.int8)
+    return k_q, s_w
+
+
+def _act_scale(x: jax.Array) -> jax.Array:
+    """Per-tensor symmetric activation scale (XLA side: fuses into x's
+    producer as an extra reduction output, costing ~no extra HBM pass)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+    return jnp.maximum(s, 1e-12).reshape(1, 1)
+
+
+def _epilogue(acc_f32, s_x, s_w_tile, bias_tile, act: Optional[str]):
+    y = acc_f32 * (s_x * s_w_tile)
+    if bias_tile is not None:
+        y = y + bias_tile
+    if act == 'gelu':
+        # tanh-approx GELU: the swin MLP's measured-fastest form on v5e
+        # (NOTES_ROUND2.md: exact-erf polynomial cost 0.86 ms/block)
+        y = jax.nn.gelu(y, approximate=True)
+    elif act == 'silu':
+        y = y * jax.nn.sigmoid(y)
+    elif act == 'lrelu':
+        y = jnp.where(y >= 0, y, 0.2 * y)
+    elif act is not None:
+        raise ValueError(f'unknown fused activation {act!r}')
+    return y
+
+
+def _mm_kernel(s_x_ref, x_ref, w_ref, s_w_ref, b_ref, o_ref, *,
+               act: Optional[str], out_dtype):
+    x = x_ref[:].astype(jnp.float32)
+    s_x = s_x_ref[0, 0]
+    x_q = jnp.round(x / s_x).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    bias = b_ref[:][0] if b_ref is not None else None
+    o_ref[:] = _epilogue(acc, s_x, s_w_ref[:][0], bias, act
+                         ).astype(out_dtype)
+
+
+def _resolve_interpret(interpret) -> bool:
+    """None = auto: interpret mode on the CPU backend (pallas_call has no
+    native CPU lowering), compiled Mosaic elsewhere (tpu / the axon relay
+    platform)."""
+    if interpret is None:
+        return jax.default_backend() == 'cpu'
+    return interpret
+
+
+@functools.partial(jax.jit, static_argnames=('act', 'tm', 'tn', 'interpret'))
+def matmul_w8a8(x: jax.Array, kernel: jax.Array,
+                bias: Optional[jax.Array] = None,
+                act: Optional[str] = None, tm: int = 256, tn: int = 256,
+                interpret=None) -> jax.Array:
+    """Fused w8a8 dense: semantics of ops/layers.py dense_w8a8 (+ optional
+    fused activation), one HBM read + one write of the activations.
+
+    Args:
+        x: (..., K) float input.
+        kernel: (K, N) float weights (same param as nn.Dense: int8 mode is
+            checkpoint-free).
+        bias: optional (N,) float.
+        act: optional fused epilogue activation: 'gelu'|'silu'|'lrelu'.
+    Returns:
+        (..., N) in x.dtype.
+    """
+    interpret = _resolve_interpret(interpret)
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    n = kernel.shape[1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    k_q, s_w = _quant_weights(kernel, reduce_axes=0)
+    s_x = _act_scale(x2)
+
+    tm = min(tm, max(LANES // 16, ((m + 7) // 8) * 8))
+    m_pad = (-m) % tm
+    n_pad = (-n) % tn
+    k_pad = (-k) % LANES   # lane alignment; zero K-columns are exact
+    x_p = (jnp.pad(x2, ((0, m_pad), (0, k_pad)))
+           if (m_pad or k_pad) else x2)
+    w_p = (jnp.pad(k_q, ((0, k_pad), (0, n_pad)))
+           if (k_pad or n_pad) else k_q)
+    k = k + k_pad
+    s_w_p = jnp.pad(s_w, (0, n_pad)).reshape(1, -1)
+    b_p = (None if bias is None
+           else jnp.pad(bias.astype(jnp.float32), (0, n_pad)).reshape(1, -1))
+    mp, np_ = x_p.shape[0], w_p.shape[1]
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [s_x, x_p, w_p, s_w_p]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, tn), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(b_p)
+        kern = functools.partial(_mm_kernel, act=act, out_dtype=x.dtype)
+    else:
+        def kern(s_x_ref, x_ref, w_ref, s_w_ref, o_ref):
+            _mm_kernel(s_x_ref, x_ref, w_ref, s_w_ref, None, o_ref,
+                       act=act, out_dtype=x.dtype)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(mp // tm, np_ // tn),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:m, :n].reshape(orig_shape[:-1] + (n,))
+
+
+def _conv_kernel(s_x_ref, x_hbm, w_ref, s_w_ref, b_ref, o_ref,
+                 x_vmem, sem, *, th: int, w_out: int, cin: int,
+                 act: Optional[str], out_dtype):
+    """One (th, w_out) output row-strip of a 3x3 SAME conv (batch 1).
+
+    x_hbm holds the zero-padded (H+2, W+2, C) input; the kernel DMAs its
+    (th+2, W+2, C) halo window into VMEM (Pallas BlockSpecs cannot express
+    overlapping windows — offsets are block-quantized), quantizes once,
+    and accumulates nine shifted int8 MXU dots.
+    """
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * th, th + 2)], x_vmem, sem)
+    cp.start()
+    cp.wait()
+    s_x = s_x_ref[0, 0]
+    x_q = jnp.round(x_vmem[:].astype(jnp.float32) / s_x).astype(jnp.int8)
+
+    f = w_ref.shape[2]
+    acc = jnp.zeros((th * w_out, f), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = x_q[dy:dy + th, dx:dx + w_out, :].reshape(
+                th * w_out, cin)
+            acc = acc + jax.lax.dot_general(
+                tap, w_ref[dy * 3 + dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+    bias = b_ref[:][0] if b_ref is not None else None
+    y = _epilogue(acc.astype(jnp.float32), s_x, s_w_ref[:][0], bias, act)
+    o_ref[:] = y.reshape(th, w_out, f).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('act', 'th', 'interpret'))
+def conv3_w8a8(x: jax.Array, kernel: jax.Array,
+               bias: Optional[jax.Array] = None,
+               act: Optional[str] = None, th: int = 8,
+               interpret=None) -> jax.Array:
+    """Fused w8a8 3x3 SAME conv: semantics of ops/layers.py conv3_w8a8
+    (+ optional fused activation).
+
+    Args:
+        x: (B, H, W, I) float, NHWC.
+        kernel: (3, 3, I, O) float (same param as the plain conv).
+        bias: optional (O,) float.
+        act: optional fused epilogue activation.
+        th: output rows per grid step.
+    Returns:
+        (B, H, W, O) in x.dtype.
+    """
+    interpret = _resolve_interpret(interpret)
+    b, h, w, cin = x.shape
+    f = kernel.shape[3]
+    k_q4, s_w = _quant_weights(kernel, reduce_axes=(0, 1, 2))
+    k_q = k_q4.reshape(9, cin, f)
+    s_x = _act_scale(x)   # per-tensor = whole batch, like the XLA path
+    if b != 1:
+        # serving default is batch-1 (NOTES_ROUND3.md window 6); vmap keeps
+        # larger batches correct without a batched kernel variant
+        return jax.vmap(lambda xi: _conv3_single(
+            xi, k_q, s_w, s_x, bias, act=act, th=th,
+            interpret=interpret))(x)
+    return _conv3_single(x[0], k_q, s_w, s_x, bias, act=act, th=th,
+                         interpret=interpret)[None]
+
+
+def _conv3_single(x1, k_q, s_w, s_x, bias, *, act, th, interpret):
+    h, w, cin = x1.shape
+    f = k_q.shape[2]
+
+    h_pad = (-h) % th
+    # Mosaic alignment (probed against the real TPU toolchain via the
+    # relay's AOT compiler, NOTES_ROUND4.md): HBM->VMEM window copies
+    # require the slice shape to be tile-aligned — (8, 128) on the last
+    # two dims of the rank-3 buffer. Pad W+2 to a sublane multiple and
+    # C to a lane multiple; zero channels are exact under the int8 dot
+    # (they quantize to 0 and the matching weight rows are 0).
+    wo = w + (-w) % 8                  # output width, sublane-aligned
+    wip = (wo + 2) + (-(wo + 2)) % 8   # input window width in VMEM
+    c_pad = (-cin) % LANES
+    f_pad = (-f) % LANES
+    # VMEM-budgeted row-strip height. The relay's AOT compiler measured
+    # the th=8 kernel at 38.4M (W=2048,C=128) / 18.1M (W=512,C=256)
+    # scoped VMEM against a 16M limit (NOTES_ROUND4.md) — size th so the
+    # working set (bf16 window + int8 quant copy + int32 acc + f32
+    # epilogue + double-buffered bf16 out + int8 weights) fits ~10M.
+    cin_p, f_p0 = cin + c_pad, f + f_pad
+
+    def _vmem_est(t):
+        return ((t + 2) * wip * cin_p * 3      # window bf16 + x_q int8
+                + t * wo * f_p0 * (4 + 4 + 2 * 2)  # acc + f32 + 2x out
+                + 9 * cin_p * f_p0)            # int8 weights
+    for cand in (16, 8, 4, 2, 1):
+        if cand <= th and _vmem_est(cand) <= 10 * 2**20:
+            th = cand
+            break
+    else:
+        th = 1
+    # zero padding both for SAME halo (1px) and row-strip alignment
+    x_p = jnp.pad(x1, ((1, 1 + h_pad), (1, wip - (w + 1)), (0, c_pad)))
+    if c_pad or f_pad:
+        k_q = jnp.pad(k_q, ((0, 0), (0, c_pad), (0, f_pad)))
+    cin += c_pad
+    hp = h + h_pad
+    s_w_2d = jnp.pad(s_w, (0, f_pad)).reshape(1, -1)
+    b_2d = (None if bias is None
+            else jnp.pad(bias.astype(jnp.float32), (0, f_pad)
+                         ).reshape(1, -1))
+    f_p = f + f_pad
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((9, cin, f_p), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [s_x, x_p, k_q, s_w_2d]
+    kw = dict(th=th, w_out=wo, cin=cin, act=act, out_dtype=x1.dtype)
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, f_p), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b_2d)
+        kern = functools.partial(_conv_kernel, **kw)
+    else:
+        def kern(s_x_ref, x_hbm, w_ref, s_w_ref, o_ref, x_vmem, sem):
+            _conv_kernel(s_x_ref, x_hbm, w_ref, s_w_ref, None, o_ref,
+                         x_vmem, sem, **kw)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(hp // th,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((th, wo, f_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wo, f_p), x1.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wip, cin), x1.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*args)
+    return out[:h, :w, :f]

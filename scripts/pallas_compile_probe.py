@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""AOT-compile every Pallas kernel against the REAL TPU toolchain.
+
+Round-4 discovery (NOTES_ROUND4.md): the axon relay's AOT compiler now
+processes `tpu_custom_call` programs and returns Mosaic diagnostics in
+seconds — e.g. it rejected the int8 conv kernel's unaligned HBM->VMEM
+window copy ("slice shape along dimension 2 must be aligned to tiling
+(128)"), which the trace-level `lowers-to-Mosaic` tests cannot see.
+That turns the relay into a compile checker: this probe runs
+`jit(fn).lower(...).compile()` for each kernel at model shapes, each in
+its own TERM-first, time-bounded subprocess, and prints PASS/FAIL plus
+the first Mosaic diagnostic line.
+
+Compile-only — nothing is dispatched, so a hang cannot wedge in-flight
+device state (the round-2/3 stall mode). Exit code = number of failures.
+
+Usage:
+  python scripts/pallas_compile_probe.py [--kernels vq,wattn,...]
+                                         [--timeout 120]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+PRELUDE = 'import jax, jax.numpy as jnp\n'
+
+# name -> python snippet that lowers + AOT-compiles at model shapes
+CASES = {
+    # serving codebook search: 1024 tokens x C=512 vs K=1024 codes
+    # (femasr_arch.py:35-38 replacement)
+    'vq': PRELUDE + (
+        'from femasr_tpu.ops.pallas.vq import vq_argmin\n'
+        'jax.jit(vq_argmin).lower('
+        'jnp.zeros((1024, 512), jnp.float32),'
+        'jnp.zeros((1024, 512), jnp.float32)).compile()\n'),
+    # swin window attention at the 512px-tile shape: 1024 windows of
+    # 8x8 tokens, C=256, 8 heads (network_swinir.py:114-145 replacement)
+    'wattn': PRELUDE + (
+        'from femasr_tpu.ops.pallas.window_attention import '
+        'window_attention_fused\n'
+        'from functools import partial\n'
+        'f = partial(window_attention_fused, num_heads=8, tw=16)\n'
+        'jax.jit(f).lower('
+        'jnp.zeros((1024, 64, 256), jnp.bfloat16),'
+        'jnp.zeros((1024, 64, 256), jnp.bfloat16),'
+        'jnp.zeros((1024, 64, 256), jnp.bfloat16),'
+        'jnp.zeros((8, 64, 64), jnp.float32)).compile()\n'),
+    # fused w8a8 dense at the swin qkv shape (all three int8 linears
+    # share this program family)
+    'int8mm': PRELUDE + (
+        'from femasr_tpu.ops.pallas.int8_dense import matmul_w8a8\n'
+        'jax.jit(lambda x, k, b: matmul_w8a8(x, k, b)).lower('
+        'jnp.zeros((4096, 256), jnp.bfloat16),'
+        'jnp.zeros((256, 768), jnp.float32),'
+        'jnp.zeros((768,), jnp.float32)).compile()\n'),
+    # w8a8 dense with fused gelu epilogue (swin MLP)
+    'int8mm_gelu': PRELUDE + (
+        'from femasr_tpu.ops.pallas.int8_dense import matmul_w8a8\n'
+        "jax.jit(lambda x, k: matmul_w8a8(x, k, act='gelu')).lower("
+        'jnp.zeros((4096, 256), jnp.bfloat16),'
+        'jnp.zeros((256, 512), jnp.float32)).compile()\n'),
+    # fused w8a8 3x3 conv, decoder-tail shape (C=64 -> lane-padded)
+    'int8conv64': PRELUDE + (
+        'from femasr_tpu.ops.pallas.int8_dense import conv3_w8a8\n'
+        "jax.jit(lambda x, k, b: conv3_w8a8(x, k, b, act='silu')).lower("
+        'jnp.zeros((1, 2048, 2048, 64), jnp.bfloat16),'
+        'jnp.zeros((3, 3, 64, 64), jnp.float32),'
+        'jnp.zeros((64,), jnp.float32)).compile()\n'),
+    # fused w8a8 3x3 conv at the compute-bound mid-decoder shape
+    'int8conv256': PRELUDE + (
+        'from femasr_tpu.ops.pallas.int8_dense import conv3_w8a8\n'
+        "jax.jit(lambda x, k, b: conv3_w8a8(x, k, b, act='silu')).lower("
+        'jnp.zeros((1, 512, 512, 256), jnp.bfloat16),'
+        'jnp.zeros((3, 3, 256, 256), jnp.float32),'
+        'jnp.zeros((256,), jnp.float32)).compile()\n'),
+}
+
+
+def run_case(name: str, snippet: str, timeout_s: float) -> tuple:
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)   # let sitecustomize pin the TPU relay
+    p = subprocess.Popen([PY, '-c', snippet + 'print("COMPILE_OK")'],
+                         cwd=HERE, env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+    try:
+        out = p.communicate(timeout=timeout_s)[0]
+        ok = p.returncode == 0 and 'COMPILE_OK' in out
+    except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            out = p.communicate(timeout=20)[0]
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = p.communicate()[0]
+        out = (out or '') + f'\n<<TIMEOUT {timeout_s}s>>'
+        ok = False
+    return ok, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--kernels', default=','.join(CASES))
+    ap.add_argument('--timeout', type=float, default=120.0)
+    args = ap.parse_args()
+
+    fails = 0
+    for name in args.kernels.split(','):
+        name = name.strip()
+        if name not in CASES:
+            print(f'[{name}] unknown kernel (have: {sorted(CASES)})')
+            fails += 1
+            continue
+        ok, out = run_case(name, CASES[name], args.timeout)
+        if ok:
+            print(f'[{name}] COMPILE PASS')
+        else:
+            fails += 1
+            # surface the first Mosaic/XLA diagnostic line
+            diag = [ln for ln in out.splitlines()
+                    if 'Mosaic' in ln or 'INVALID_ARGUMENT' in ln
+                    or 'RESOURCE_EXHAUSTED' in ln or 'TIMEOUT' in ln
+                    or 'Error' in ln]
+            print(f'[{name}] COMPILE FAIL: '
+                  + (diag[0].strip() if diag else out.strip()[-300:]))
+            tail = '\n'.join(out.splitlines()[-15:])
+            print('  --- tail ---\n  ' + tail.replace('\n', '\n  '))
+    sys.exit(fails)
+
+
+if __name__ == '__main__':
+    main()

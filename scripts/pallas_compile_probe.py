@@ -81,6 +81,18 @@ CASES = {
 }
 
 
+# VQ compile-hang bisect (NOTES_ROUND4.md): (1024,512)x(1024,512) hangs
+# the Mosaic compile, (128,128)x(128,128) passes. One axis varies per case.
+for _n, _c, _k in [(1024, 512, 128), (1024, 128, 1024), (128, 512, 1024),
+                   (1024, 512, 256), (256, 512, 1024), (1024, 256, 1024),
+                   (512, 512, 512)]:
+    CASES[f'vq_n{_n}c{_c}k{_k}'] = PRELUDE + (
+        'from femasr_tpu.ops.pallas.vq import vq_argmin\n'
+        'jax.jit(vq_argmin).lower('
+        f'jnp.zeros(({_n}, {_c}), jnp.float32),'
+        f'jnp.zeros(({_k}, {_c}), jnp.float32)).compile()\n')
+
+
 def run_case(name: str, snippet: str, timeout_s: float) -> tuple:
     env = dict(os.environ)
     env.pop('JAX_PLATFORMS', None)   # let sitecustomize pin the TPU relay

@@ -373,6 +373,34 @@ PALLAS_PHASE = ('pallas_vq_compile', [PY, '-c', (
 # then repeating cache-warm benches.
 AGENDA += [
     ('r4_pallas_vq', list(PALLAS_CMD), 300, None, False),
+    # --- round-4 session-3: post-attribution agenda -----------------------
+    # Bank real-hardware Pallas execution evidence (first exec of int8mm +
+    # wattn happened interactively 2026-08-19 ~08:00; this re-banks it in
+    # bench_evidence/pallas_exec_r4.txt and adds the fixed int8conv).
+    ('r4b_pallas_exec', [PY, 'scripts/pallas_exec_probe.py',
+                         '--kernels', 'int8mm,wattn,int8conv,vq_tiny'],
+     900, None, False),
+    # Harness-contradiction discriminators (105 ms seg-full vs 1608 ms
+    # gen-chain32 on ~the same b8 program; NOTES_ROUND4.md): chain length,
+    # then donation, then the deg-in-step interaction.
+    ('r4b_seg_full_k32', [PY, 'scripts/train_segment_probe.py',
+                          '--segments', 'full', '--chain', '32'],
+     880, None, False),
+    ('r4b_gen32_nodeg2', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                          '--batch', '8', '--dtype', 'bfloat16',
+                          '--no-degrade', '--gen-chain', '32',
+                          '--iters', '64'], 900, None, False),
+    ('r4b_seg_full_k32_don', [PY, 'scripts/train_segment_probe.py',
+                              '--segments', 'full', '--chain', '32',
+                              '--donate'], 880, None, False),
+    ('r4b_seg_degfull', [PY, 'scripts/train_segment_probe.py',
+                         '--segments', 'deg_full'], 880, None, False),
+    # VQ compile-hang bisect: compile-only, one axis per case, 90 s cap
+    # each (model shape hangs; tiny passes — find the tripping axis).
+    ('r4b_vq_bisect', [PY, 'scripts/pallas_compile_probe.py', '--kernels',
+                       'vq_n1024c512k128,vq_n1024c128k1024,vq_n128c512k1024,'
+                       'vq_n512c512k512,vq_n1024c512k256,vq_n256c512k1024',
+                       '--timeout', '90'], 700, None, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

@@ -45,6 +45,10 @@ def main():
                     help='timed dispatches after compile+warmup')
     ap.add_argument('--segments',
                     default='deg,hq,g_fwd,g_grad,d_grad,adam,full')
+    ap.add_argument('--donate', action='store_true',
+                    help="donate the 'full' chain's TrainState carry like "
+                         'train_step_probe --gen-chain does (the 105 ms vs '
+                         '1608 ms harness-contradiction discriminator)')
     ap.add_argument('--compile-only', action='store_true')
     args = ap.parse_args()
 
@@ -237,18 +241,40 @@ logger: {{print_freq: 1, use_tb_logger: false}}
             f = jax.jit(chain)
             fargs = lambda d: (state.params_g, state.opt_g, state.params_d,
                                state.opt_d, jnp.int32(d * K))
-        elif seg == 'full':
+        elif seg in ('full', 'deg_full'):
             inner = model._train_step
 
             def chain(st, base):
                 def body(st, i):
                     kk = jax.random.fold_in(jax.random.PRNGKey(7), base + i)
-                    st, ld, _ = inner(st, gen_lq(kk), gen_gt(kk), params_hq)
+                    if seg == 'deg_full':
+                        # the real pipeline shape: on-device BSRGAN LQ
+                        # synthesis feeding the step inside the same scan
+                        # body (gen32-vs-nodeg measured this interaction
+                        # at +4795 ms/step while 'deg' alone is 12 ms)
+                        gt_in = gen_gt(kk)
+                        lq_in, gt_in = degradation_bsrgan_jax(
+                            jax.random.fold_in(kk, 9), gt_in, sf=4)
+                    else:
+                        lq_in, gt_in = gen_lq(kk), gen_gt(kk)
+                    st, ld, _ = inner(st, lq_in, gt_in, params_hq)
                     return st, ld['l_g_total']
                 st, ls = jax.lax.scan(body, st, jnp.arange(K))
-                return ls[-1]
-            f = jax.jit(chain)
-            fargs = lambda d: (state, jnp.int32(d * K))
+                return st, ls[-1]
+            if args.donate:
+                f0 = jax.jit(chain, donate_argnums=(0,))
+            else:
+                f0 = jax.jit(chain)
+            carry = {'st': state}
+
+            def f(st_ignored, base):
+                # chain the carried state across dispatches (like a real
+                # training run / the gen-chain probe) so donation is legal
+                new_st, l_last = f0(carry['st'], base)
+                carry['st'] = new_st
+                return l_last
+            f.lower = lambda *a: f0.lower(*a)
+            fargs = lambda d: (state if d == 0 else None, jnp.int32(d * K))
         else:
             body = seg_body(seg)
 
@@ -265,11 +291,17 @@ logger: {{print_freq: 1, use_tb_logger: false}}
         compiled = lowered.compile()
         tc = time.perf_counter() - t0
         ca = compiled.cost_analysis() or {}
-        fl = float(ca.get('flops', 0.0)) / K
-        by = float(ca.get('bytes accessed', 0.0)) / K
-        print(f'[{seg}] compile {tc:.1f}s; per-exec {fl / 1e12:.2f} TFLOP, '
-              f'{by / 1e9:.2f} GB -> roofline {by / 819e9 * 1e3:.1f} ms',
-              flush=True)
+        # HloCostAnalysis counts a while/scan BODY ONCE (verified on this
+        # jax build: scan of 8 matmuls reports 1x matmul flops) — so for
+        # these K-chained programs cost_analysis IS the per-exec cost, up
+        # to the (small) outside-the-loop ops. Round-4 note: the original
+        # /K here understated per-exec FLOPs/bytes by 8x and produced the
+        # fictional '2% MFU' training story (NOTES_ROUND4.md).
+        fl = float(ca.get('flops', 0.0))
+        by = float(ca.get('bytes accessed', 0.0))
+        print(f'[{seg}] compile {tc:.1f}s; per-exec (scan-body-once) '
+              f'{fl / 1e12:.2f} TFLOP, {by / 1e9:.2f} GB -> roofline '
+              f'{by / 819e9 * 1e3:.1f} ms', flush=True)
         if args.compile_only:
             return
         t0 = time.perf_counter()

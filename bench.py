@@ -132,8 +132,12 @@ def main():
 
     # 2. measurement ladder, smallest tile first; each attempt bounded by
     # its own subprocess. Keep the largest tile that succeeds.
+    # FEMASR_BENCH_TILES=512 (comma list) restricts the ladder — used by
+    # watchdog A/B phases whose budget can't afford three cold compiles.
     best = None
-    for tile in (128, 256, 512):
+    tiles = tuple(int(t) for t in os.environ.get(
+        'FEMASR_BENCH_TILES', '128,256,512').split(','))
+    for tile in tiles:
         cap = TILE_BUDGET_S[tile]
         budget = remaining() if cap is None else min(cap, remaining())
         if budget < 30:

@@ -380,6 +380,17 @@ AGENDA += [
     ('r4b_pallas_exec', [PY, 'scripts/pallas_exec_probe.py',
                          '--kernels', 'int8mm,wattn,int8conv,vq_tiny'],
      900, None, False),
+    # Pallas fused window-attention serving A/B (kernel compiled AND
+    # executed on hardware 2026-08-19): the copy attribution puts ~270+ MB
+    # of staging/logits traffic per swin block that the kernel keeps in
+    # VMEM. hlo first (byte count + warms the program compile cache),
+    # then wall-clock.
+    ('r4b_hlo_pallas_attn', [PY, 'scripts/hlo_bytes.py', '512',
+                             '--top', '15'], 880,
+     {'FEMASR_ATTN': 'pallas'}, False),
+    ('r4b_bench_pallas_attn', [PY, 'bench.py'], 880,
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_ATTN': 'pallas',
+      'FEMASR_BENCH_TILES': '512'}, False),
     # Harness-contradiction discriminators (105 ms seg-full vs 1608 ms
     # gen-chain32 on ~the same b8 program; NOTES_ROUND4.md): chain length,
     # then donation, then the deg-in-step interaction.

@@ -93,8 +93,16 @@ CASES = {
         '    jnp.sum((z[:, None] - c[None]) ** 2, -1), -1).astype(jnp.int32))(z, cb))\n'
         'out = np.asarray(vq_argmin(z, cb, interpret=False))\n'
         'nd = int((ref != out).sum())\n'
-        'print(f"vq_tiny exec: idx mismatches={nd}/{ref.size} salt={salt}")\n'
-        'assert nd == 0, nd\n'),
+        '# near-tie flips are expected: the kernel evaluates c^2-2zc via an\n'
+        '# f32 MXU dot, the reference sums (z-c)^2 — ULP-different values.\n'
+        '# A mismatch is only REAL if the two chosen codes distances differ\n'
+        '# beyond f32 noise at these magnitudes (~1e-4).\n'
+        'zz = np.asarray(z); cc = np.asarray(cb)\n'
+        'd = ((zz[:, None] - cc[None]) ** 2).sum(-1)\n'
+        'gap = float(np.abs(d[np.arange(128), ref] - d[np.arange(128), out]).max())\n'
+        'print(f"vq_tiny exec: idx mismatches={nd}/{ref.size} '
+        'max-dist-gap={gap:.2e} salt={salt}")\n'
+        'assert gap <= 1e-3, (nd, gap)\n'),
 }
 
 

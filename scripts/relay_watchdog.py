@@ -406,6 +406,11 @@ AGENDA += [
                               '--donate'], 880, None, False),
     ('r4b_seg_degfull', [PY, 'scripts/train_segment_probe.py',
                          '--segments', 'deg_full'], 880, None, False),
+    # vq_tiny re-run with the tie-aware check (first attempt EXECUTED on
+    # chip, 1/128 flip = f32 near-tie between the kernel's c^2-2zc MXU
+    # form and the reference's (z-c)^2 sum)
+    ('r4c_vq_exec_tie', [PY, 'scripts/pallas_exec_probe.py',
+                         '--kernels', 'vq_tiny'], 400, None, False),
     # VQ compile-hang bisect: compile-only, one axis per case, 90 s cap
     # each (model shape hangs; tiny passes — find the tripping axis).
     ('r4b_vq_bisect', [PY, 'scripts/pallas_compile_probe.py', '--kernels',

@@ -292,24 +292,15 @@ class WindowAttention(nn.Module):
             return dense(c, dtype=self.dtype, int8=self.int8_linears,
                          name='proj')(out)
 
-        # q/k/v head split: FEMASR_QKV selects the formulation for byte A/Bs.
-        # 'reshape' (default): one contiguous (B_, N, 3, nh, hd) reshape and
-        # unstack — measured 97.3 GB full-program traffic. 'slice': minor-dim
-        # slices + per-tensor reshape — designed to kill a 100 MB permuted
-        # copy per block seen in the 2026-08-17 per-op attribution, but the
-        # TPU-compiled program measures 105.3 GB (+8 GB REGRESSION: the three
-        # strided column slices each materialize where the single reshape
-        # fused); kept only as an A/B point.
-        if os.environ.get('FEMASR_QKV', 'reshape') == 'slice':
-            q = (qkv[..., :c].reshape(b_, n, nh, head_dim)
-                 * scale)              # (B_, N, nh, hd)
-            k = qkv[..., c:2 * c].reshape(b_, n, nh, head_dim)
-            v = qkv[..., 2 * c:].reshape(b_, n, nh, head_dim)
-        else:
-            qkv = qkv.reshape(b_, n, 3, nh, head_dim)
-            q = qkv[:, :, 0] * scale   # (B_, N, nh, hd)
-            k = qkv[:, :, 1]
-            v = qkv[:, :, 2]
+        # q/k/v head split: one contiguous (B_, N, 3, nh, hd) reshape and
+        # unstack — measured 97.3 GB full-program traffic. The minor-dim
+        # slice formulation (FEMASR_QKV=slice) measured an +8 GB REGRESSION
+        # (the three strided column slices each materialized where the
+        # single reshape fused) and was removed; see FORMULATIONS.md.
+        qkv = qkv.reshape(b_, n, 3, nh, head_dim)
+        q = qkv[:, :, 0] * scale   # (B_, N, nh, hd)
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
 
         # window packing factor actually usable at this call's geometry:
         # must divide the windows-per-image count so groups never mix the

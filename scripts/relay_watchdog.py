@@ -391,6 +391,20 @@ AGENDA += [
     ('r4b_bench_pallas_attn', [PY, 'bench.py'], 880,
      {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_ATTN': 'pallas',
       'FEMASR_BENCH_TILES': '512'}, False),
+    # Compile-only phases FIRST (hlo_bytes_ prefix = may co-run with the
+    # pytest suite; the wall-clock phases below defer until pytest ends).
+    # batch-layout pathology minimal repro (VERDICT r3 #5): compile-only
+    # b1 / b2 / b2-folded-into-height conv byte ratios + layout evidence.
+    ('hlo_bytes_blayout', [PY, 'scripts/xla_batch_layout_repro.py'],
+     700, None, False),
+    # VQ compile-hang bisect: compile-only, one axis per case, 90 s cap
+    # each (model shape hangs; tiny passes — find the tripping axis).
+    ('hlo_bytes_vq_bisect', [PY, 'scripts/pallas_compile_probe.py',
+                             '--kernels',
+                             'vq_n1024c512k128,vq_n1024c128k1024,'
+                             'vq_n128c512k1024,vq_n512c512k512,'
+                             'vq_n1024c512k256,vq_n256c512k1024',
+                             '--timeout', '90'], 700, None, False),
     # Harness-contradiction discriminators (105 ms seg-full vs 1608 ms
     # gen-chain32 on ~the same b8 program; NOTES_ROUND4.md): chain length,
     # then donation, then the deg-in-step interaction.
@@ -422,12 +436,6 @@ AGENDA += [
     ('r4c_int8_tail_pallas', [PY, 'scripts/perf_probe.py', '512', '1',
                               '--int8', '--int8-levels', '2'], 880,
      {'FEMASR_INT8_BACKEND': 'pallas'}, False),
-    # VQ compile-hang bisect: compile-only, one axis per case, 90 s cap
-    # each (model shape hangs; tiny passes — find the tripping axis).
-    ('r4b_vq_bisect', [PY, 'scripts/pallas_compile_probe.py', '--kernels',
-                       'vq_n1024c512k128,vq_n1024c128k1024,vq_n128c512k1024,'
-                       'vq_n512c512k512,vq_n1024c512k256,vq_n256c512k1024',
-                       '--timeout', '90'], 700, None, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

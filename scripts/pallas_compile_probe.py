@@ -93,6 +93,21 @@ for _n, _c, _k in [(1024, 512, 128), (1024, 128, 1024), (128, 512, 1024),
         f'jnp.zeros(({_k}, {_c}), jnp.float32)).compile()\n')
 
 
+# mitigation configs at the FULL model shape: smaller token tiles and/or
+# the multi-pass codebook-chunk fallback (max_codes_vmem < K) keep each
+# kernel instance at known-compiling sizes with zero new kernel code.
+for _tag, _tn, _mcv in [('tn512', 512, 2048), ('tn256', 256, 2048),
+                        ('mcv512', 1024, 512), ('mcv256', 1024, 256),
+                        ('tn512mcv512', 512, 512)]:
+    CASES[f'vq_model_{_tag}'] = PRELUDE + (
+        'from femasr_tpu.ops.pallas.vq import vq_argmin\n'
+        'from functools import partial\n'
+        f'f = partial(vq_argmin, tn={_tn}, max_codes_vmem={_mcv})\n'
+        'jax.jit(f).lower('
+        'jnp.zeros((16384, 512), jnp.float32),'
+        'jnp.zeros((1024, 512), jnp.float32)).compile()\n')
+
+
 def run_case(name: str, snippet: str, timeout_s: float) -> tuple:
     env = dict(os.environ)
     env.pop('JAX_PLATFORMS', None)   # let sitecustomize pin the TPU relay

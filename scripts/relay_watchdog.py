@@ -405,6 +405,14 @@ AGENDA += [
                              'vq_n128c512k1024,vq_n512c512k512,'
                              'vq_n1024c512k256,vq_n256c512k1024',
                              '--timeout', '90'], 700, None, False),
+    # mitigation ladder at the full model shape (smaller tn / multi-pass
+    # codebook chunks); any PASS row is an immediately usable config
+    ('hlo_bytes_vq_mitig', [PY, 'scripts/pallas_compile_probe.py',
+                            '--kernels',
+                            'vq_model_tn512,vq_model_mcv512,'
+                            'vq_model_tn256,vq_model_mcv256,'
+                            'vq_model_tn512mcv512',
+                            '--timeout', '90'], 700, None, False),
     # Harness-contradiction discriminators (105 ms seg-full vs 1608 ms
     # gen-chain32 on ~the same b8 program; NOTES_ROUND4.md): chain length,
     # then donation, then the deg-in-step interaction.

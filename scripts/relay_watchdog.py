@@ -397,22 +397,18 @@ AGENDA += [
     # b1 / b2 / b2-folded-into-height conv byte ratios + layout evidence.
     ('hlo_bytes_blayout', [PY, 'scripts/xla_batch_layout_repro.py'],
      700, None, False),
-    # VQ compile-hang bisect: compile-only, one axis per case, 90 s cap
-    # each (model shape hangs; tiny passes — find the tripping axis).
-    ('hlo_bytes_vq_bisect', [PY, 'scripts/pallas_compile_probe.py',
-                             '--kernels',
-                             'vq_n1024c512k128,vq_n1024c128k1024,'
-                             'vq_n128c512k1024,vq_n512c512k512,'
-                             'vq_n1024c512k256,vq_n256c512k1024',
-                             '--timeout', '90'], 700, None, False),
-    # mitigation ladder at the full model shape (smaller tn / multi-pass
-    # codebook chunks); any PASS row is an immediately usable config
-    ('hlo_bytes_vq_mitig', [PY, 'scripts/pallas_compile_probe.py',
-                            '--kernels',
-                            'vq_model_tn512,vq_model_mcv512,'
-                            'vq_model_tn256,vq_model_mcv256,'
-                            'vq_model_tn512mcv512',
-                            '--timeout', '90'], 700, None, False),
+    # composite-block layout repro round 2: the conv->GN->silu->conv block
+    # reproduces the b2 pathology even on CPU (1.81x per-pixel) and the
+    # height-fold sidesteps it (1.20x) — confirm magnitudes on the chip.
+    ('hlo_bytes_blayout2', [PY, 'scripts/xla_batch_layout_repro.py'],
+     700, None, False),
+    # VQ bisect RETIRED after one decisive case (10:22 UTC): vq at
+    # (tn=1024, K=128) CRASHES the relay's tpu_compile_helper (HTTP 500,
+    # subprocess exit 1) and takes the relay down for minutes — the
+    # round-2..4 "stall" is a shape-dependent Mosaic compiler crash
+    # triggered by the token-tile axis, NOT by codebook size. Each retry
+    # costs a relay outage, so further shapes are a non-relay-hardware
+    # deliverable (NOTES_ROUND4.md / FORMULATIONS.md).
     # Harness-contradiction discriminators (105 ms seg-full vs 1608 ms
     # gen-chain32 on ~the same b8 program; NOTES_ROUND4.md): chain length,
     # then donation, then the deg-in-step interaction.

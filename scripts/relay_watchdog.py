@@ -415,6 +415,12 @@ AGENDA += [
     ('r4b_seg_full_k32', [PY, 'scripts/train_segment_probe.py',
                           '--segments', 'full', '--chain', '32'],
      880, None, False),
+    # SAME-WINDOW chain-length pairing: k8 measured 105 ms (05:35, healthy)
+    # and k32 measured 2404 ms (11:50, right after a 80-min wedge) — the
+    # pairing deconfounds chain length from chip state.
+    ('r4b_seg_full_k8_k32', [PY, 'scripts/train_segment_probe.py',
+                             '--segments', 'full', '--chains', '8,32',
+                             '--dispatches', '2'], 880, None, False),
     ('r4b_gen32_nodeg2', [PY, 'scripts/train_step_probe.py', '--gt', '256',
                           '--batch', '8', '--dtype', 'bfloat16',
                           '--no-degrade', '--gen-chain', '32',

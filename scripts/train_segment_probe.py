@@ -41,6 +41,11 @@ def main():
     ap.add_argument('--dtype', default='bfloat16')
     ap.add_argument('--chain', type=int, default=8,
                     help='K segment executions per dispatch (lax.scan)')
+    ap.add_argument('--chains', default='',
+                    help="comma list of K values; runs the segment once "
+                         "per K in ONE process (same relay window — the "
+                         "K=8:105ms vs K=32:2404ms discriminator needs "
+                         "same-window pairing to rule out chip state)")
     ap.add_argument('--dispatches', type=int, default=2,
                     help='timed dispatches after compile+warmup')
     ap.add_argument('--segments',
@@ -315,8 +320,14 @@ logger: {{print_freq: 1, use_tb_logger: false}}
         eff = f', {fl / (dt / 1e3) / 1e12:.1f} TFLOP/s' if fl else ''
         print(f'[{seg}] {dt:.0f} ms/exec (chain={K}){eff}', flush=True)
 
-    for seg in args.segments.split(','):
-        timed(seg.strip())
+    chain_values = ([int(x) for x in args.chains.split(',') if x]
+                    or [args.chain])
+    for kv in chain_values:
+        K = kv
+        if len(chain_values) > 1:
+            print(f'--- chain K={K} ---', flush=True)
+        for seg in args.segments.split(','):
+            timed(seg.strip())
 
 
 if __name__ == '__main__':

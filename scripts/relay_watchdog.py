@@ -421,15 +421,6 @@ AGENDA += [
     ('r4b_seg_full_k8_k32', [PY, 'scripts/train_segment_probe.py',
                              '--segments', 'full', '--chains', '8,32',
                              '--dispatches', '2'], 880, None, False),
-    ('r4b_gen32_nodeg2', [PY, 'scripts/train_step_probe.py', '--gt', '256',
-                          '--batch', '8', '--dtype', 'bfloat16',
-                          '--no-degrade', '--gen-chain', '32',
-                          '--iters', '64'], 900, None, False),
-    ('r4b_seg_full_k32_don', [PY, 'scripts/train_segment_probe.py',
-                              '--segments', 'full', '--chain', '32',
-                              '--donate'], 880, None, False),
-    ('r4b_seg_degfull', [PY, 'scripts/train_segment_probe.py',
-                         '--segments', 'deg_full'], 880, None, False),
     # vq_tiny re-run with the tie-aware check (first attempt EXECUTED on
     # chip, 1/128 flip = f32 near-tie between the kernel's c^2-2zc MXU
     # form and the reference's (z-c)^2 sum)
@@ -446,6 +437,16 @@ AGENDA += [
     ('r4c_int8_tail_pallas', [PY, 'scripts/perf_probe.py', '512', '1',
                               '--int8', '--int8-levels', '2'], 880,
      {'FEMASR_INT8_BACKEND': 'pallas'}, False),
+
+    ('r4b_gen32_nodeg2', [PY, 'scripts/train_step_probe.py', '--gt', '256',
+                          '--batch', '8', '--dtype', 'bfloat16',
+                          '--no-degrade', '--gen-chain', '32',
+                          '--iters', '64'], 900, None, False),
+    ('r4b_seg_full_k32_don', [PY, 'scripts/train_segment_probe.py',
+                              '--segments', 'full', '--chain', '32',
+                              '--donate'], 880, None, False),
+    ('r4b_seg_degfull', [PY, 'scripts/train_segment_probe.py',
+                         '--segments', 'deg_full'], 880, None, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

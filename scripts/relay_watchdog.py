@@ -438,15 +438,10 @@ AGENDA += [
                               '--int8', '--int8-levels', '2'], 880,
      {'FEMASR_INT8_BACKEND': 'pallas'}, False),
 
-    ('r4b_gen32_nodeg2', [PY, 'scripts/train_step_probe.py', '--gt', '256',
-                          '--batch', '8', '--dtype', 'bfloat16',
-                          '--no-degrade', '--gen-chain', '32',
-                          '--iters', '64'], 900, None, False),
-    ('r4b_seg_full_k32_don', [PY, 'scripts/train_segment_probe.py',
-                              '--segments', 'full', '--chain', '32',
-                              '--donate'], 880, None, False),
-    ('r4b_seg_degfull', [PY, 'scripts/train_segment_probe.py',
-                         '--segments', 'deg_full'], 880, None, False),
+    # gen32_nodeg2 / k32_don / degfull DROPPED 12:57 UTC: the same-
+    # window k8/k32 pairing proved relay-state variance (8331 vs 630
+    # ms/step in 3 min) swamps any program-level difference these
+    # would measure; remaining windows go to serving A/Bs + bench.
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

@@ -43,7 +43,10 @@ PY = sys.executable
 # probe, (3) fresh HLO dumps for the swin byte hunt, (4) the bounded
 # Pallas attempt (VERDICT r3 #4) in the MIDDLE of the agenda so a wedge
 # has hours to recover before the driver's end-of-round collection.
-AGENDA = [
+# [2026-08-19 session 4] These phases all COMPLETED (results in
+# NOTES_ROUND4.md); kept for the record as AGENDA_R4_DONE. The live
+# close-out queue is the new AGENDA defined after it.
+AGENDA_R4_DONE = [
     ('r4_bench', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
     # fresh per-op attribution + full dump of the current 97.3 GB default
@@ -371,8 +374,10 @@ PALLAS_PHASE = ('pallas_vq_compile', [PY, '-c', (
 # attempt, 300 s cap, placed after the info-critical phases but hours
 # before round end so a wedge can recover before the driver collects),
 # then repeating cache-warm benches.
-AGENDA += [
-    ('r4_pallas_vq', list(PALLAS_CMD), 300, None, False),
+AGENDA_R4_DONE += [
+    # r4_pallas_vq RETIRED: the (tn=1024) vq compile CRASHES the relay's
+    # tpu_compile_helper (HTTP 500) and causes a multi-minute outage —
+    # never re-queue it on this relay (NOTES_ROUND4.md session 3).
     # --- round-4 session-3: post-attribution agenda -----------------------
     # Bank real-hardware Pallas execution evidence (first exec of int8mm +
     # wattn happened interactively 2026-08-19 ~08:00; this re-banks it in
@@ -426,22 +431,48 @@ AGENDA += [
     # form and the reference's (z-c)^2 sum)
     ('r4c_vq_exec_tie', [PY, 'scripts/pallas_exec_probe.py',
                          '--kernels', 'vq_tiny'], 400, None, False),
-    # int8 serving wall-clock with the FUSED Pallas backend (round-3's
-    # XLA int8 measured -6.6% from dequant HBM passes; the fused kernels
-    # are hardware-validated bitwise vs XLA int8). Same config as the
-    # round-3 int8_everything phase for comparability.
-    ('r4c_int8_pallas', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
-                         '--int8-levels', '3', '--int8-swin',
-                         '--int8-enc-up'], 880,
-     {'FEMASR_INT8_BACKEND': 'pallas'}, False),
-    ('r4c_int8_tail_pallas', [PY, 'scripts/perf_probe.py', '512', '1',
-                              '--int8', '--int8-levels', '2'], 880,
-     {'FEMASR_INT8_BACKEND': 'pallas'}, False),
-
     # gen32_nodeg2 / k32_don / degfull DROPPED 12:57 UTC: the same-
     # window k8/k32 pairing proved relay-state variance (8331 vs 630
     # ms/step in 3 min) swamps any program-level difference these
     # would measure; remaining windows go to serving A/Bs + bench.
+]
+
+# --- ROUND-4 CLOSE-OUT agenda (2026-08-19 session 4) --------------------
+# The container restarted: /tmp (watchdog state) AND the persistent
+# compile cache (~/.cache/femasr_tpu/jax_cache) were wiped. Everything in
+# AGENDA_R4_DONE already produced its number (NOTES_ROUND4.md); what
+# remains is (1) rebuilding the ladder caches RUNG-BY-RUNG — a single
+# cold 600 s full-bench is exactly the round-3 weak-#4 failure mode
+# (fresh compiles 2-4 min each when degraded) — then banking the driver
+# bench, then (2) the still-unrun int8 serving A/Bs (the only identified
+# lever past the ~2.1 MP/s byte roofline), then (3) the TPU composite
+# batch-layout magnitudes (compile-only), then repeating bench_warm.
+AGENDA = [
+    ('r4d_warm512', [PY, 'bench.py'], 880,
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '512'}, False),
+    ('r4d_warm256', [PY, 'bench.py'], 880,
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '256'}, False),
+    ('r4d_warm128', [PY, 'bench.py'], 880,
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '128'}, False),
+    ('r4d_bench', [PY, 'bench.py'], 600,
+     {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
+    # int8 serving wall-clock with the FUSED Pallas backend (round-3's
+    # XLA int8 measured -6.6% from dequant HBM passes; the fused kernels
+    # are hardware-validated bitwise vs XLA int8). Same config as the
+    # round-3 int8_everything phase for comparability. Tail-only first:
+    # smaller program, cheaper compile, quality-gated subset.
+    ('r4c_int8_tail_pallas', [PY, 'scripts/perf_probe.py', '512', '1',
+                              '--int8', '--int8-levels', '2'], 880,
+     {'FEMASR_INT8_BACKEND': 'pallas'}, False),
+    ('r4c_int8_pallas', [PY, 'scripts/perf_probe.py', '512', '1', '--int8',
+                         '--int8-levels', '3', '--int8-swin',
+                         '--int8-enc-up'], 880,
+     {'FEMASR_INT8_BACKEND': 'pallas'}, False),
+    # composite-block layout repro round 2: the conv->GN->silu->conv block
+    # reproduces the b2 pathology even on CPU (1.81x per-pixel) and the
+    # height-fold sidesteps it (1.20x) — confirm magnitudes on the chip.
+    ('hlo_bytes_blayout2', [PY, 'scripts/xla_batch_layout_repro.py'],
+     700, None, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

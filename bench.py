@@ -40,7 +40,9 @@ import time
 H100_PYTORCH_BASELINE_MPS = 1.5   # see NOTES_ROUND2.md derivation
 N_ITER = 8
 
-TOTAL_BUDGET_S = 570          # hard wall budget for the whole script
+TOTAL_BUDGET_S = float(os.environ.get(
+    'FEMASR_BENCH_BUDGET_S', 570))  # hard wall budget for the whole script
+                                    # (watchdog cache-warm phases raise it)
 PROBE_BUDGET_S = 60
 TILE_BUDGET_S = {128: 150, 256: 120, 512: None}  # None = all remaining
 
@@ -138,6 +140,13 @@ def main():
         'FEMASR_BENCH_TILES', '128,256,512').split(','))
     for tile in tiles:
         cap = TILE_BUDGET_S[tile]
+        if len(tiles) == 1:
+            # a restricted single-rung run IS that run's headline (the
+            # watchdog's rung-by-rung cache-warm phases): the 120/150 s
+            # small-tile caps assume a warm cache, but a cold degraded
+            # compile takes 2-4 min and a TERM'd child never populates
+            # the persistent cache — give the lone rung the full budget.
+            cap = None
         budget = remaining() if cap is None else min(cap, remaining())
         if budget < 30:
             break

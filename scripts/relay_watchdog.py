@@ -449,11 +449,14 @@ AGENDA_R4_DONE += [
 # batch-layout magnitudes (compile-only), then repeating bench_warm.
 AGENDA = [
     ('r4d_warm512', [PY, 'bench.py'], 880,
-     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '512'}, False),
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '512',
+      'FEMASR_BENCH_BUDGET_S': '840'}, False),
     ('r4d_warm256', [PY, 'bench.py'], 880,
-     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '256'}, False),
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '256',
+      'FEMASR_BENCH_BUDGET_S': '840'}, False),
     ('r4d_warm128', [PY, 'bench.py'], 880,
-     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '128'}, False),
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '128',
+      'FEMASR_BENCH_BUDGET_S': '840'}, False),
     ('r4d_bench', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, False),
     # int8 serving wall-clock with the FUSED Pallas backend (round-3's

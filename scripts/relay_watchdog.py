@@ -576,14 +576,34 @@ def main():
         # the Pallas probe gets exactly ONE attempt (round-2 precedent:
         # a TERM'd in-flight tpu_custom_call compile preceded multi-hour
         # relay outages; retrying multiplies the wedge risk for zero
-        # extra information)
+        # extra information). Exception: the int8 serving A/Bs route
+        # through kernels whose relay-side Mosaic compile is VALIDATED
+        # (pallas_compile_probe PASS + on-chip exec, session 2/3), so a
+        # flap-killed attempt may retry once off the persistent cache.
+        if 'int8' in name:
+            return 2
         return 1 if 'pallas' in name else MAX_ATTEMPTS
+
+    # End-of-round freeze policy (VERDICT r3 weak#8, now formal): in the
+    # last FREEZE_S of the watchdog budget, no NEW experiment phases
+    # start — only the repeatable cache-keeping bench phases — so the
+    # driver's end-of-round collection never finds a cold cache or an
+    # in-flight risky program.
+    freeze_s = min(float(os.environ.get('RELAY_WATCHDOG_FREEZE_S', 3600)),
+                   0.25 * budget)
 
     while time.time() - t0 < budget:
         pending = [ph for ph in agenda
                    if ph[4] or (ph[0] not in state['done']
                                 and state['attempts'].get(ph[0], 0)
                                 < attempts_cap(ph[0]))]
+        if budget - (time.time() - t0) < freeze_s:
+            frozen = [ph[0] for ph in pending if not ph[4]]
+            pending = [ph for ph in pending if ph[4]]
+            if frozen:
+                print(f'[{time.strftime("%H:%M:%S")}] FREEZE window: '
+                      f'deferring {frozen} permanently; bench-warm only',
+                      flush=True)
         if not pending:
             print('agenda complete', flush=True)
             return

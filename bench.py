@@ -213,6 +213,16 @@ def _child(tile):
     # leave outputs bit-comparable, int8_* flags are quality-gated
     # (tests/test_int8_quality.py) and disclosed in the unit string.
     BENCH_FLAGS = {}
+    if os.environ.get('FEMASR_BENCH_INT8') == '1':
+        # quality-gated int8 serving lane (tests/test_inference.py
+        # test_int8_*_quality_full_arch: all-int8 vs f32 on the release
+        # arch = 32.5 dB PSNR, <10% codebook-index flips, near-tie-only).
+        # w8a8 via the hardware-validated fused Pallas kernels
+        # (bench_evidence/pallas_exec_r4.txt: bitwise vs the XLA int8
+        # path on the v5e). Opt-in until the A/B ladder is warm.
+        BENCH_FLAGS = dict(int8_tail=True, int8_levels=3, int8_swin=True,
+                           int8_enc_up=True)
+        os.environ.setdefault('FEMASR_INT8_BACKEND', 'pallas')
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       dtype=jnp.bfloat16, **BENCH_FLAGS)
@@ -234,7 +244,9 @@ def _child(tile):
         result = {
             'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
             'value': round(best_mps, 3),
-            'unit': (f'MP/s (input pixels), bf16, {best_desc}, vs '
+            'unit': (f'MP/s (input pixels), '
+                     f'{"w8a8-int8+bf16 (quality-gated)" if BENCH_FLAGS else "bf16"}, '
+                     f'{best_desc}, vs '
                      'bottom-up 1.5 MP/s H100-PyTorch-eager baseline '
                      '(estimate, +-35% — derivation in BASELINE.md)'
                      + flag_note

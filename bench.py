@@ -8,11 +8,17 @@ wedged TPU relay or a stalled remote compile cannot eat the driver's budget
 (the round-1 failure mode: two ~12-min failed 512px compiles, rc=124, no
 JSON recorded).
 
-Ladder: relay health probe (60s) -> 128px -> 256px -> 512px, smallest first
-so a cheap compile always lands SOME real number even when the relay's
-remote-compile helper is degraded (~10x slowdown observed); the largest
-successful tile wins (fallbacks labeled). A persistent compilation cache
-(warmed during the build round) makes the 512px attempt fast when healthy.
+Ladder: relay health probe (60s) then the three tile rungs. ORDER depends
+on the persistent compile cache: when it is WARM (the watchdog keeps all
+three rungs warm through the round — the driver's end-of-round situation),
+the headline 512px rung runs FIRST under a bounded cap and the ladder stops
+at its first success (a smaller rung can never beat a larger one, and the
+round-4 r4d_bench capture showed degraded-window 128/256 attempts burning
+270 s of budget and costing the chained-512 variant: 1.649 captured where
+1.665 was in the cache). When the cache is COLD (fresh container), the
+original smallest-first order stands so a cheap compile always lands SOME
+real number even when the remote-compile helper is degraded (~10x slowdown
+observed); there the largest successful tile wins (fallbacks labeled).
 
 Measurement notes: on this harness the TPU is reached through a relay where
 `block_until_ready()` does NOT wait for real execution and numerically
@@ -44,9 +50,28 @@ TOTAL_BUDGET_S = float(os.environ.get(
     'FEMASR_BENCH_BUDGET_S', 570))  # hard wall budget for the whole script
                                     # (watchdog cache-warm phases raise it)
 PROBE_BUDGET_S = 60
-TILE_BUDGET_S = {128: 150, 256: 120, 512: None}  # None = all remaining
+# ascending (cold-cache) caps; None = all remaining budget
+TILE_BUDGET_S = {128: 150, 256: 120, 512: None}
+# descending (warm-cache) caps: bound the headline attempt so the smaller
+# fallbacks keep ~240 s if it stalls; warm 512 (incl. chain) runs 60-120 s
+TILE_BUDGET_DESC_S = {512: 330, 256: 120, 128: None}
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.expanduser('~/.cache/femasr_tpu/jax_cache')
+
+
+def _cache_warm():
+    """True when the persistent XLA compile cache has entries.
+
+    The relay watchdog keeps all three ladder rungs warm through the round,
+    so at driver collection time this is True; a container restart wipes
+    ~/.cache (observed 2026-08-19) and flips the ladder back to the safe
+    cold-cache order.
+    """
+    try:
+        return any(os.scandir(CACHE_DIR))
+    except OSError:
+        return False
 
 
 class _SkipChain(Exception):
@@ -138,8 +163,13 @@ def main():
     best = None
     tiles = tuple(int(t) for t in os.environ.get(
         'FEMASR_BENCH_TILES', '128,256,512').split(','))
+    order = os.environ.get('FEMASR_BENCH_ORDER') or (
+        'desc' if _cache_warm() else 'asc')
+    if order == 'desc':
+        tiles = tuple(sorted(tiles, reverse=True))
     for tile in tiles:
-        cap = TILE_BUDGET_S[tile]
+        cap = (TILE_BUDGET_DESC_S if order == 'desc'
+               else TILE_BUDGET_S)[tile]
         if len(tiles) == 1:
             # a restricted single-rung run IS that run's headline (the
             # watchdog's rung-by-rung cache-warm phases): the 120/150 s
@@ -174,6 +204,11 @@ def main():
         if rc not in (0, None):
             print(f'# tile={tile} attempt failed rc={rc}: '
                   f'{err[-200:]!r}', flush=True)
+        if best is not None and order == 'desc':
+            # first success in descending order IS the largest tile — the
+            # ladder's best; skip the smaller rungs (saves budget and two
+            # kill-a-compile-in-flight risks at driver collection time)
+            break
     if best is not None:
         print(best, flush=True)
         return

@@ -56,6 +56,69 @@ def test_run_bounded_timeout_salvages_stdout_and_terms(bench):
     assert 'TERMED' in out  # SIGTERM (not SIGKILL) reached the child
 
 
+def _run_ladder(bench, monkeypatch, capsys, warm, results):
+    """Drive bench.main() with a stubbed child; return attempted tiles.
+
+    `results` maps tile -> JSON line (success) or None (timeout/failure).
+    """
+    attempts = []
+
+    def fake_run_bounded(argv, budget_s, env=None):
+        tile = int(argv[-1])
+        attempts.append(tile)
+        jline = results.get(tile)
+        if jline is None:
+            return None, '', ''
+        return 0, jline + '\n', ''
+
+    monkeypatch.setattr(bench, '_run_bounded', fake_run_bounded)
+    monkeypatch.setattr(bench, '_cache_warm', lambda: warm)
+    monkeypatch.setenv('FEMASR_BENCH_SKIP_PROBE', '1')
+    monkeypatch.delenv('FEMASR_BENCH_TILES', raising=False)
+    monkeypatch.delenv('FEMASR_BENCH_ORDER', raising=False)
+    bench.main()
+    out = capsys.readouterr().out
+    jline = next(ln for ln in reversed(out.splitlines())
+                 if ln.startswith('{'))
+    return attempts, json.loads(jline)
+
+
+def test_warm_cache_runs_headline_rung_first_and_stops(
+        bench, monkeypatch, capsys):
+    # warm cache (the driver's end-of-round situation): 512 first, and a
+    # success there must SKIP the smaller rungs (r4d_bench precedent:
+    # degraded-window 128/256 attempts burned the chain variant's budget)
+    ok = json.dumps({'metric': 'm', 'value': 1.665, 'unit': 'u',
+                     'vs_baseline': 1.11})
+    attempts, got = _run_ladder(bench, monkeypatch, capsys, warm=True,
+                                results={512: ok, 256: ok, 128: ok})
+    assert attempts == [512]
+    assert got['value'] == 1.665
+
+
+def test_warm_cache_falls_back_descending(bench, monkeypatch, capsys):
+    ok = json.dumps({'metric': 'm', 'value': 1.74, 'unit': 'u',
+                     'vs_baseline': 1.16})
+    attempts, got = _run_ladder(bench, monkeypatch, capsys, warm=True,
+                                results={512: None, 256: ok, 128: ok})
+    assert attempts == [512, 256]
+    assert got['value'] == 1.74
+
+
+def test_cold_cache_keeps_smallest_first_ladder(bench, monkeypatch, capsys):
+    # cold cache: the original ascending order stands (a cheap 128 compile
+    # lands SOME number when the remote-compile helper is degraded), and
+    # larger successes overwrite smaller fallbacks
+    def j(v):
+        return json.dumps({'metric': 'm', 'value': v, 'unit': 'u',
+                           'vs_baseline': v})
+    attempts, got = _run_ladder(
+        bench, monkeypatch, capsys, warm=False,
+        results={128: j(1.17), 256: j(1.74), 512: j(1.66)})
+    assert attempts == [128, 256, 512]
+    assert got['value'] == 1.66
+
+
 def test_child_batch_ladder_policy(bench):
     # the headline tiles must not attempt the reproduced-loser batch 2
     # (3x-measured regression + a 2-4 min compile-stall risk at driver

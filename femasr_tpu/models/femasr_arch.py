@@ -280,6 +280,7 @@ class MultiScaleEncoder(nn.Module):
     fused_upsample: bool = False
     int8_enc_up: bool = False
     int8_swin: bool = False
+    int8_mlp: bool = False
     attn_layout: str = 'spatial'
     attn_pack: int = 1
     attn_pack_shifted: bool = True
@@ -308,6 +309,7 @@ class MultiScaleEncoder(nn.Module):
                            attn_pack=self.attn_pack,
                            attn_pack_shifted=self.attn_pack_shifted,
                            int8_linears=self.int8_swin,
+                           int8_mlp=self.int8_mlp,
                            dtype=self.dtype,
                            name=f'blocks_{idx}')(x)
             outputs.append(x)
@@ -367,6 +369,13 @@ class FeMaSRNet(nn.Module):
     # divergence class as bf16 serving (PARITY.md); quality-gated in
     # tests/test_inference.py
     int8_swin: bool = False
+    # serving-only: per-token int8 CHAIN for the swin MLPs alone
+    # (fc1 -> GELU -> fc2 with int8 crossing HBM between the links and
+    # zero standalone scale passes; ops/layers.py dense_w8a8_ptok /
+    # ops/pallas/int8_dense.py matmul_w8a8_q). The round-4 formulation
+    # that avoids the measured per-tensor byte blowup (NOTES_ROUND4.md);
+    # same index-flip caveat as int8_swin (the MLP feeds the quantizer)
+    int8_mlp: bool = False
     # 'spatial' | 'winmajor': window-major residual groups (partition once
     # per RSTB group; SW-MSA shifts as static row gathers). Bit-exact; see
     # ops/swin.py BasicLayer. Env override FEMASR_SWIN_LAYOUT for A/Bs.
@@ -411,6 +420,7 @@ class FeMaSRNet(nn.Module):
             lq_stage=self.LQ_stage, use_checkpoint=self.use_checkpoint,
             fused_upsample=self.fused_upsample,
             int8_enc_up=self.int8_enc_up, int8_swin=self.int8_swin,
+            int8_mlp=self.int8_mlp,
             attn_layout=self.attn_layout,
             attn_pack=self.attn_pack,
             attn_pack_shifted=self.attn_pack_shifted,

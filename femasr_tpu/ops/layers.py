@@ -520,24 +520,105 @@ def dense_w8a8(x: jax.Array, kernel: jax.Array,
     return y.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# per-token int8 chain (round-4 A/B lesson, NOTES_ROUND4.md): the per-TENSOR
+# int8 integration above costs a standalone whole-tensor max-reduction pass
+# per op plus bf16 materialization of every intermediate — measured bytes
+# 97.3 -> 151.8/174.5 GB on the 512px serving program (a 2.9x wall-clock
+# LOSS). The chain formulation keeps activations in int8 ACROSS ops:
+# per-token (row) scales are local to each row, so (a) the input quantize
+# is a row-reduction XLA can fuse into the producer (LayerNorm), (b) an op
+# can emit quantized output from its own epilogue with zero extra passes,
+# and (c) a consumer dequantizes exactly with the (.., 1) scale column.
+# Serving-only, checkpoint-free, opt-in via FEMASR_INT8_CHAIN=1.
+# ---------------------------------------------------------------------------
+
+def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token symmetric int8 quantization: (..., K) -> int8 + (..., 1)
+    f32 scales. Row-local, so XLA fuses it into x's producer (the swin
+    LayerNorm shares the same row-loop structure)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    return jnp.round(xf / s).astype(jnp.int8), s
+
+
+def dense_w8a8_ptok(x_q: jax.Array, s_x: jax.Array, kernel: jax.Array,
+                    bias: Optional[jax.Array] = None,
+                    act: Optional[str] = None, out_int8: bool = False,
+                    out_dtype: Dtype = jnp.bfloat16):
+    """Per-token w8a8 dense on pre-quantized input (XLA reference
+    semantics; ops/pallas/int8_dense.py matmul_w8a8_q fuses the same
+    pipeline into VMEM).
+
+    x_q: (..., K) int8; s_x: (..., 1) f32 per-token scales.
+    kernel: (K, N) float (same param as nn.Dense — checkpoint-free).
+    act: optional fused activation ('gelu' = tanh-approx, matching the
+        bf16 swin MLP; 'silu'; 'lrelu').
+    out_int8: emit (y_q int8, s_y (..., 1) f32) from the epilogue instead
+        of a float tensor — the chain link that keeps the MLP's 4x-wide
+        intermediate off HBM at bf16 width.
+    """
+    kf = kernel.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(kf), axis=0) / 127.0, 1e-12)  # (N,)
+    k_q = jnp.round(kf / s_w).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, k_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s_x * s_w)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if act == 'gelu':
+        y = jax.nn.gelu(y, approximate=True)
+    elif act == 'silu':
+        y = y * jax.nn.sigmoid(y)
+    elif act == 'lrelu':
+        y = jnp.where(y >= 0, y, 0.2 * y)
+    elif act is not None:
+        raise ValueError(f'unknown fused activation {act!r}')
+    if out_int8:
+        return quantize_rows(y)
+    return y.astype(out_dtype)
+
+
 class DenseInt8(nn.Module):
     """nn.Dense computed in w8a8 int8; param names/shapes identical to
     nn.Dense (kernel (I, O) [+ bias (O,)]) so checkpoints interchange
     with the float path. Serving-only, opt-in via
-    FeMaSRNet(int8_swin=True) for the swin linears."""
+    FeMaSRNet(int8_swin=True) for the swin linears.
+
+    Two input forms:
+      - a float array: per-tensor dynamic activation scale (the round-3
+        formulation), float output.
+      - an (x_q int8, s_x f32) tuple: the per-token chain — consumes
+        pre-quantized input and, with out_int8=True, emits quantized
+        output from the epilogue (plus optional fused `act`).
+    """
     features: int
     use_bias: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+    def __call__(self, x, act: Optional[str] = None,
+                 out_int8: bool = False):
+        chained = isinstance(x, tuple)
+        in_ch = (x[0] if chained else x).shape[-1]
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (in_ch, self.features), jnp.float32)
         bias = (self.param('bias', nn.initializers.zeros,
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
-        return dense_w8a8(x.astype(self.dtype), kernel, bias)
+        if not chained:
+            assert act is None and not out_int8, \
+                'fused act / int8 output are chain-mode features'
+            return dense_w8a8(x.astype(self.dtype), kernel, bias)
+        x_q, s_x = x
+        if os.environ.get('FEMASR_INT8_BACKEND') == 'pallas':
+            from .pallas.int8_dense import matmul_w8a8_q
+            return matmul_w8a8_q(x_q, s_x, kernel, bias, act=act,
+                                 out_int8=out_int8, out_dtype=self.dtype)
+        return dense_w8a8_ptok(x_q, s_x, kernel, bias, act=act,
+                               out_int8=out_int8, out_dtype=self.dtype)
 
 
 def pixel_shuffle_phase_major(x: jax.Array) -> jax.Array:

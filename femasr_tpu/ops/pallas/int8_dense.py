@@ -173,6 +173,137 @@ def matmul_w8a8(x: jax.Array, kernel: jax.Array,
     return out[:m, :n].reshape(orig_shape[:-1] + (n,))
 
 
+def _mm_q_kernel(x_ref, sx_ref, w_ref, s_w_ref, b_ref, oq_ref, os_ref,
+                 o_ref, *, act: Optional[str], out_dtype):
+    """Per-token w8a8 tile: int8 input + (tm, 1) row scales; output either
+    float (o_ref) or re-quantized int8 + row scales (oq_ref/os_ref)."""
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    y = acc * (sx_ref[:] * s_w_ref[:][0])
+    bias = b_ref[:][0] if b_ref is not None else None
+    y = _epilogue(y, 1.0, 1.0, bias, act)  # scales already applied
+    if oq_ref is not None:
+        s = jnp.maximum(jnp.max(jnp.abs(y), axis=1, keepdims=True) / 127.0,
+                        1e-12)
+        os_ref[:] = s
+        oq_ref[:] = jnp.round(y / s).astype(jnp.int8)
+    else:
+        o_ref[:] = y.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'act', 'out_int8', 'out_dtype', 'tm', 'interpret'))
+def matmul_w8a8_q(x_q: jax.Array, s_x: jax.Array, kernel: jax.Array,
+                  bias: Optional[jax.Array] = None,
+                  act: Optional[str] = None, out_int8: bool = False,
+                  out_dtype=jnp.bfloat16, tm: int = 256,
+                  interpret=None):
+    """Per-token-chained w8a8 dense: the int8-I/O link of the chain
+    formulation (semantics of ops/layers.py dense_w8a8_ptok).
+
+    Consumes pre-quantized activations (int8 + per-row scales) and, with
+    out_int8=True, emits quantized output from the epilogue — so a chain
+    like the swin MLP (fc1 -> GELU -> fc2) moves int8 across HBM between
+    links instead of bf16 + a standalone whole-tensor scale pass + a
+    quantize round-trip (the round-4 per-tensor integration measured
+    97.3 -> 151.8/174.5 GB program bytes, NOTES_ROUND4.md).
+
+    Args:
+        x_q: (..., K) int8.
+        s_x: (..., 1) f32 per-token scales.
+        kernel: (K, N) float weights (nn.Dense param — checkpoint-free).
+        bias: optional (N,) float.
+        act: optional fused epilogue activation ('gelu'|'silu'|'lrelu').
+        out_int8: return (y_q int8 (..., N), s_y f32 (..., 1)) instead of
+            a float array. The whole N extent lives in one grid step (the
+            per-row max is then tile-local); model shapes N<=1024 fit.
+    Returns:
+        (..., N) in out_dtype, or the (y_q, s_y) tuple.
+    """
+    interpret = _resolve_interpret(interpret)
+    orig_lead = x_q.shape[:-1]
+    k = x_q.shape[-1]
+    n = kernel.shape[1]
+    x2 = x_q.reshape(-1, k)
+    sx2 = s_x.reshape(-1, 1).astype(jnp.float32)
+    m = x2.shape[0]
+
+    k_q, s_w = _quant_weights(kernel, reduce_axes=0)
+
+    k_pad = (-k) % LANES
+    n_pad = (-n) % LANES
+    kp, np_ = k + k_pad, n + n_pad
+    # VMEM-budgeted row-tile: int8 in + int8 weights + int32/f32 acc pair
+    # + out, double-buffered in/out (~10M budget, same policy as the conv)
+    for cand in (tm, 128, 64, 32, 8):
+        if (cand <= tm and
+                2 * cand * kp + kp * np_ + 8 * cand * np_
+                + 2 * cand * np_ <= 10 * 2**20):
+            tm = cand
+            break
+    else:
+        tm = 8
+    m_pad = (-m) % tm
+    if m_pad or k_pad:
+        x2 = jnp.pad(x2, ((0, m_pad), (0, k_pad)))
+        sx2 = jnp.pad(sx2, ((0, m_pad), (0, 0)), constant_values=1.0)
+    if k_pad or n_pad:
+        k_q = jnp.pad(k_q, ((0, k_pad), (0, n_pad)))
+    s_w_p = jnp.pad(s_w, (0, n_pad)).reshape(1, -1)
+    b_p = (None if bias is None
+           else jnp.pad(bias.astype(jnp.float32), (0, n_pad)).reshape(1, -1))
+    mp = m + m_pad
+
+    in_specs = [
+        pl.BlockSpec((tm, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kp, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x2, sx2, k_q, s_w_p]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, np_), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b_p)
+    if out_int8:
+        out_specs = [
+            pl.BlockSpec((tm, np_), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((mp, np_), jnp.int8),
+                     jax.ShapeDtypeStruct((mp, 1), jnp.float32)]
+    else:
+        out_specs = [pl.BlockSpec((tm, np_), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((mp, np_), out_dtype)]
+
+    def kern(*refs):
+        ins = list(refs[:len(args)])
+        outs = list(refs[len(args):])
+        b_ref = ins[4] if bias is not None else None
+        oq, os_, o = ((outs[0], outs[1], None) if out_int8
+                      else (None, None, outs[0]))
+        _mm_q_kernel(ins[0], ins[1], ins[2], ins[3], b_ref, oq, os_, o,
+                     act=act, out_dtype=out_dtype)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(mp // tm,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    if out_int8:
+        yq, sy = outs
+        return (yq[:m, :n].reshape(orig_lead + (n,)),
+                sy[:m].reshape(orig_lead + (1,)))
+    return outs[0][:m, :n].reshape(orig_lead + (n,))
+
+
 def _conv_kernel(s_x_ref, x_hbm, w_ref, s_w_ref, b_ref, o_ref,
                  x_vmem, sem, *, th: int, w_out: int, cin: int,
                  act: Optional[str], out_dtype):

@@ -208,10 +208,29 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     int8: bool = False
+    # per-token int8 chain (explicit, via FeMaSRNet(int8_mlp=True)); the
+    # FEMASR_INT8_CHAIN=1 env upgrades any int8 Mlp to the chain form for
+    # A/Bs against the per-tensor int8_swin configs
+    chain: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.chain or (self.int8 and
+                          os.environ.get('FEMASR_INT8_CHAIN') == '1'):
+            # per-token int8 chain (NOTES_ROUND4.md): quantize_rows is
+            # row-local (fuses into the LayerNorm producer), fc1 emits
+            # int8 + row scales from its epilogue (GELU fused, in f32 —
+            # at or above the plain path's bf16 accuracy), fc2 consumes
+            # int8 directly. The 4x-wide intermediate crosses HBM once
+            # at int8 width instead of bf16-out + whole-tensor scale
+            # pass + quantize round-trip. Param names/shapes identical.
+            from .layers import DenseInt8, quantize_rows
+            h = DenseInt8(self.hidden_features, dtype=self.dtype,
+                          name='fc1')(quantize_rows(x), act='gelu',
+                                      out_int8=True)
+            return DenseInt8(self.out_features, dtype=self.dtype,
+                             name='fc2')(h)
         x = dense(self.hidden_features, dtype=self.dtype, int8=self.int8,
                   name='fc1')(x)
         # f32 models: exact erf GELU (torch nn.GELU default — reference
@@ -449,6 +468,9 @@ class SwinTransformerBlock(nn.Module):
     attn_pack: int = 1
     attn_pack_shifted: bool = True
     int8_linears: bool = False
+    # per-token int8 chain for the MLP only (FEMASR_INT8_CHAIN=1) — the
+    # candidate that does NOT pull qkv/proj into the per-tensor int8 path
+    int8_mlp: bool = False
     dtype: Dtype = jnp.float32
 
     def _clamped(self) -> Tuple[int, int]:
@@ -500,7 +522,9 @@ class SwinTransformerBlock(nn.Module):
         x = shortcut + x
         y = LayerNormTPU(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
         y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
-                out_features=self.dim, int8=self.int8_linears,
+                out_features=self.dim,
+                int8=self.int8_linears or self.int8_mlp,
+                chain=self.int8_mlp,
                 dtype=self.dtype, name='mlp')(y)
         return x + y
 
@@ -549,7 +573,9 @@ class SwinTransformerBlock(nn.Module):
         x = shortcut + y
         y = LayerNormTPU(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
         y = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
-                out_features=self.dim, int8=self.int8_linears,
+                out_features=self.dim,
+                int8=self.int8_linears or self.int8_mlp,
+                chain=self.int8_mlp,
                 dtype=self.dtype, name='mlp')(y)
         return x + y
 
@@ -577,6 +603,7 @@ class BasicLayer(nn.Module):
     attn_pack: int = 1
     attn_pack_shifted: bool = True
     int8_linears: bool = False
+    int8_mlp: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -607,6 +634,7 @@ class BasicLayer(nn.Module):
                 attn_pack=self.attn_pack,
                 attn_pack_shifted=self.attn_pack_shifted,
                 int8_linears=self.int8_linears,
+                int8_mlp=self.int8_mlp,
                 dtype=self.dtype, name=f'blocks_{i}')
             x = blk(x, (h, w)) if winmajor else blk(x)
         if winmajor:
@@ -635,6 +663,7 @@ class RSTB(nn.Module):
     attn_pack: int = 1
     attn_pack_shifted: bool = True
     int8_linears: bool = False
+    int8_mlp: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -649,6 +678,7 @@ class RSTB(nn.Module):
                        attn_pack=self.attn_pack,
                        attn_pack_shifted=self.attn_pack_shifted,
                        int8_linears=self.int8_linears,
+                       int8_mlp=self.int8_mlp,
                        dtype=self.dtype,
                        name='residual_group')(x)
         y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
@@ -675,6 +705,7 @@ class SwinLayers(nn.Module):
     # codebook indices — same divergence class as bf16 serving
     # (PARITY.md); gate via tests/test_inference.py int8 quality test.
     int8_linears: bool = False
+    int8_mlp: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -690,6 +721,7 @@ class SwinLayers(nn.Module):
                      attn_pack=self.attn_pack,
                      attn_pack_shifted=self.attn_pack_shifted,
                      int8_linears=self.int8_linears,
+                     int8_mlp=self.int8_mlp,
                      dtype=self.dtype,
                      name=f'swin_blks_{i}')(x)
         return x

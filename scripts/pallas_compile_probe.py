@@ -78,6 +78,24 @@ CASES = {
         'jnp.zeros((1, 512, 512, 256), jnp.bfloat16),'
         'jnp.zeros((3, 3, 256, 256), jnp.float32),'
         'jnp.zeros((256,), jnp.float32)).compile()\n'),
+    # per-token int8 CHAIN links at the 512px serving shape (65536 tokens):
+    # fc1 with int8-out epilogue + fused gelu, fc2 consuming int8
+    'int8mmq_fc1': PRELUDE + (
+        'from femasr_tpu.ops.pallas.int8_dense import matmul_w8a8_q\n'
+        "f = lambda xq, sx, k, b: matmul_w8a8_q(xq, sx, k, b, act='gelu', "
+        'out_int8=True)\n'
+        'jax.jit(f).lower('
+        'jnp.zeros((65536, 256), jnp.int8),'
+        'jnp.zeros((65536, 1), jnp.float32),'
+        'jnp.zeros((256, 1024), jnp.float32),'
+        'jnp.zeros((1024,), jnp.float32)).compile()\n'),
+    'int8mmq_fc2': PRELUDE + (
+        'from femasr_tpu.ops.pallas.int8_dense import matmul_w8a8_q\n'
+        'jax.jit(lambda xq, sx, k, b: matmul_w8a8_q(xq, sx, k, b)).lower('
+        'jnp.zeros((65536, 1024), jnp.int8),'
+        'jnp.zeros((65536, 1), jnp.float32),'
+        'jnp.zeros((1024, 256), jnp.float32),'
+        'jnp.zeros((256,), jnp.float32)).compile()\n'),
 }
 
 

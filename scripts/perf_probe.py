@@ -34,6 +34,10 @@ def main():
     ap.add_argument('--int8-swin', action='store_true',
                     help='w8a8 swin qkv/proj/mlp linears (largest segment; '
                          'not index-safe)')
+    ap.add_argument('--int8-mlp', action='store_true',
+                    help='per-token int8 CHAIN for the swin MLPs only '
+                         '(round-4 formulation; int8 crosses HBM between '
+                         'fc1/fc2, zero standalone scale passes)')
     ap.add_argument('--pack', type=int, default=1)
     ap.add_argument('--no-pack-shifted', action='store_true',
                     help='leave SW-MSA (masked) blocks unpacked')
@@ -56,6 +60,7 @@ def main():
                       int8_tail=args.int8, int8_levels=args.int8_levels,
                       int8_enc_up=args.int8_enc_up,
                       int8_swin=args.int8_swin,
+                      int8_mlp=args.int8_mlp,
                       attn_pack=args.pack,
                       attn_pack_shifted=not args.no_pack_shifted,
                       dtype=jnp.bfloat16)

@@ -476,6 +476,26 @@ AGENDA = [
     # height-fold sidesteps it (1.20x) — confirm magnitudes on the chip.
     ('hlo_bytes_blayout2', [PY, 'scripts/xla_batch_layout_repro.py'],
      700, None, False),
+    # --- per-token int8 CHAIN validation ladder (built 2026-08-19 session
+    # 4 after the per-tensor int8 A/B measured a byte BLOWUP; see
+    # NOTES_ROUND4.md): (1) Mosaic AOT compile of the two chain kernels,
+    # (2) compile-only byte probes of the full 512px program — the chain
+    # is only worth a wall-clock attempt if bytes land UNDER the 97.3 GB
+    # bf16 baseline, (3) bounded wall-clocks for both backends.
+    ('int8mlp_ktest', [PY, 'scripts/pallas_compile_probe.py',
+                       '--kernels', 'int8mmq_fc1,int8mmq_fc2',
+                       '--timeout', '120'], 400, None, False),
+    ('hlo_bytes_int8mlp_xla', [PY, 'scripts/perf_probe.py', '512', '1',
+                               '--int8-mlp', '--compile-only'], 700,
+     None, False),
+    ('hlo_bytes_int8mlp_pl', [PY, 'scripts/perf_probe.py', '512', '1',
+                              '--int8-mlp', '--compile-only'], 700,
+     {'FEMASR_INT8_BACKEND': 'pallas'}, False),
+    ('r4e_int8mlp_xla', [PY, 'scripts/perf_probe.py', '512', '1',
+                         '--int8-mlp'], 880, None, False),
+    ('r4e_int8mlp_pl', [PY, 'scripts/perf_probe.py', '512', '1',
+                        '--int8-mlp'], 880,
+     {'FEMASR_INT8_BACKEND': 'pallas'}, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

@@ -124,3 +124,129 @@ def test_conv3_w8a8_lowers_to_mosaic_tpu():
                                    interpret=False)).trace(x, k, b)
     assert 'tpu_custom_call' in traced.lower(
         lowering_platforms=('tpu',)).as_text()
+
+
+# ---------------------------------------------------------------------------
+# per-token int8 chain (round-4: the per-tensor integration measured a byte
+# BLOWUP on chip — 97.3 -> 151.8/174.5 GB; the chain keeps int8 across ops)
+# ---------------------------------------------------------------------------
+
+from femasr_tpu.ops.layers import dense_w8a8_ptok, quantize_rows
+from femasr_tpu.ops.pallas.int8_dense import matmul_w8a8_q
+
+
+def test_dense_ptok_xla_matches_float_reference():
+    # per-token scales must be at least as accurate as the per-tensor path
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(size=(256, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(96, 64)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    ref = x @ w + b
+    x_q, s_x = quantize_rows(x)
+    out = dense_w8a8_ptok(x_q, s_x, w, b, out_dtype=jnp.float32)
+    err_tok = float(jnp.max(jnp.abs(out - ref)))
+    err_tensor = float(jnp.max(jnp.abs(dense_w8a8_xla(x, w, b) - ref)))
+    assert err_tok <= err_tensor * 1.5 + 1e-6
+    # int8 quantization noise bound: |err| ~ s_x*s_w*O(sqrt(K)) per element
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.2, atol=0.5)
+
+
+@pytest.mark.parametrize('m,k,n', [(64, 96, 48), (300, 256, 1024)])
+@pytest.mark.parametrize('out_int8', [False, True])
+def test_matmul_w8a8_q_matches_xla_ptok(m, k, n, out_int8):
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    x_q, s_x = quantize_rows(x)
+    ref = dense_w8a8_ptok(x_q, s_x, w, b, act='gelu', out_int8=out_int8,
+                          out_dtype=jnp.float32)
+    ours = matmul_w8a8_q(x_q, s_x, w, b, act='gelu', out_int8=out_int8,
+                         out_dtype=jnp.float32, tm=128, interpret=True)
+    if out_int8:
+        # identical integer outputs + identical row scales: both backends
+        # run the same f32 op sequence on exact int32 accumulators
+        np.testing.assert_array_equal(np.asarray(ours[0]),
+                                      np.asarray(ref[0]))
+        np.testing.assert_allclose(np.asarray(ours[1]), np.asarray(ref[1]),
+                                   rtol=1e-6, atol=0)
+    else:
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_matmul_w8a8_q_two_link_chain_matches_xla():
+    # fc1(gelu, int8 out) -> fc2: the swin MLP chain, pallas vs XLA ptok
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(200, 64)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    x_q, s_x = quantize_rows(x)
+    h_ref = dense_w8a8_ptok(x_q, s_x, w1, b1, act='gelu', out_int8=True)
+    ref = dense_w8a8_ptok(h_ref[0], h_ref[1], w2, b2,
+                          out_dtype=jnp.float32)
+    h = matmul_w8a8_q(x_q, s_x, w1, b1, act='gelu', out_int8=True,
+                      tm=64, interpret=True)
+    out = matmul_w8a8_q(h[0], h[1], w2, b2, out_dtype=jnp.float32,
+                        tm=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_int8_chain_env_routes_through_mlp(monkeypatch):
+    """FEMASR_INT8_CHAIN=1 through the swin Mlp module: same params as the
+    plain path, xla and pallas chain backends agree, quality within
+    int8 tolerance of the f32 Mlp."""
+    from femasr_tpu.ops.swin import Mlp
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(1, 128, 96)).astype(np.float32))
+    m_f32 = Mlp(hidden_features=384, out_features=96, dtype=jnp.float32)
+    params = m_f32.init(jax.random.PRNGKey(0), x)['params']
+    ref = m_f32.apply({'params': params}, x)
+
+    m_int8 = Mlp(hidden_features=384, out_features=96, int8=True,
+                 dtype=jnp.float32)
+    monkeypatch.setenv('FEMASR_INT8_CHAIN', '1')
+    monkeypatch.delenv('FEMASR_INT8_BACKEND', raising=False)
+    out_xla = jax.jit(
+        lambda p, x: m_int8.apply({'params': p}, x))(params, x)
+    monkeypatch.setenv('FEMASR_INT8_BACKEND', 'pallas')
+    out_pallas = jax.jit(
+        lambda p, x: m_int8.apply({'params': p}, x))(params, x)
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-5)
+    # int8 quantization noise bound vs f32 (per-token scales, 2 links)
+    rel = (np.abs(np.asarray(out_xla) - np.asarray(ref)).max()
+           / (np.abs(np.asarray(ref)).max() + 1e-9))
+    assert rel < 0.1, rel
+
+
+def test_matmul_w8a8_q_lowers_to_mosaic_tpu():
+    """The swin MLP chain at the 512px serving point: fc1 with int8-out
+    epilogue (16384 tokens, 256->1024 + GELU) and fc2 consuming int8
+    (1024->256) — network_swinir.py:14-30 replacement at int8 I/O."""
+    xq = jnp.zeros((16384, 256), jnp.int8)
+    sx = jnp.zeros((16384, 1), jnp.float32)
+    w1 = jnp.zeros((256, 1024), jnp.float32)
+    b1 = jnp.zeros((1024,), jnp.float32)
+
+    def fc1(xq, sx, w, b):
+        return matmul_w8a8_q(xq, sx, w, b, act='gelu', out_int8=True,
+                             interpret=False)
+    txt = jax.jit(fc1).trace(xq, sx, w1, b1).lower(
+        lowering_platforms=('tpu',)).as_text()
+    assert 'tpu_custom_call' in txt
+
+    hq = jnp.zeros((16384, 1024), jnp.int8)
+    sh = jnp.zeros((16384, 1), jnp.float32)
+    w2 = jnp.zeros((1024, 256), jnp.float32)
+    b2 = jnp.zeros((256,), jnp.float32)
+
+    def fc2(hq, sh, w, b):
+        return matmul_w8a8_q(hq, sh, w, b, interpret=False)
+    txt = jax.jit(fc2).trace(hq, sh, w2, b2).lower(
+        lowering_platforms=('tpu',)).as_text()
+    assert 'tpu_custom_call' in txt

@@ -249,15 +249,14 @@ def _child(tile):
     # (tests/test_int8_quality.py) and disclosed in the unit string.
     BENCH_FLAGS = {}
     if os.environ.get('FEMASR_BENCH_INT8') == '1':
-        # quality-gated int8 serving lane (tests/test_inference.py
-        # test_int8_*_quality_full_arch: all-int8 vs f32 on the release
-        # arch = 32.5 dB PSNR, <10% codebook-index flips, near-tie-only).
-        # w8a8 via the hardware-validated fused Pallas kernels
-        # (bench_evidence/pallas_exec_r4.txt: bitwise vs the XLA int8
-        # path on the v5e). Opt-in until the A/B ladder is warm.
-        BENCH_FLAGS = dict(int8_tail=True, int8_levels=3, int8_swin=True,
-                           int8_enc_up=True)
-        os.environ.setdefault('FEMASR_INT8_BACKEND', 'pallas')
+        # quality-gated int8 serving lane. The per-tensor all-int8 config
+        # (int8_tail+swin+enc_up) measured a byte BLOWUP on the chip
+        # (97.3 -> 151.8/174.5 GB, -64% wall-clock — FORMULATIONS.md), so
+        # the lane now runs the per-token CHAIN candidate: swin MLPs only,
+        # int8 I/O between fc1/fc2, epilogue quantize (ops/swin.py Mlp).
+        # Backend: FEMASR_INT8_BACKEND=pallas for the fused kernel, unset
+        # for the pure-XLA chain (no custom-call fusion barriers).
+        BENCH_FLAGS = dict(int8_mlp=True)
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       dtype=jnp.bfloat16, **BENCH_FLAGS)

@@ -615,8 +615,12 @@ class DenseInt8(nn.Module):
         x_q, s_x = x
         if os.environ.get('FEMASR_INT8_BACKEND') == 'pallas':
             from .pallas.int8_dense import matmul_w8a8_q
+            # FEMASR_INT8_TM: token-tile override (the Mosaic compile
+            # probe's crash-bisect knob — see pallas_compile_probe.py)
             return matmul_w8a8_q(x_q, s_x, kernel, bias, act=act,
-                                 out_int8=out_int8, out_dtype=self.dtype)
+                                 out_int8=out_int8, out_dtype=self.dtype,
+                                 tm=int(os.environ.get('FEMASR_INT8_TM',
+                                                       '256')))
         return dense_w8a8_ptok(x_q, s_x, kernel, bias, act=act,
                                out_int8=out_int8, out_dtype=self.dtype)
 

@@ -96,6 +96,19 @@ CASES = {
         'jnp.zeros((65536, 1), jnp.float32),'
         'jnp.zeros((1024, 256), jnp.float32),'
         'jnp.zeros((256,), jnp.float32)).compile()\n'),
+    # fc1 fallback at a small token tile: fc1's row-max epilogue over 1024
+    # lanes + (tm, 1) scale output shares a shape signature with the VQ
+    # kernel's Mosaic-crashing 1024-lane reduction (NOTES_ROUND4.md) —
+    # if int8mmq_fc1 (tm=256) fails, this bisects the tile axis
+    'int8mmq_fc1_tm64': PRELUDE + (
+        'from femasr_tpu.ops.pallas.int8_dense import matmul_w8a8_q\n'
+        "f = lambda xq, sx, k, b: matmul_w8a8_q(xq, sx, k, b, act='gelu', "
+        'out_int8=True, tm=64)\n'
+        'jax.jit(f).lower('
+        'jnp.zeros((65536, 256), jnp.int8),'
+        'jnp.zeros((65536, 1), jnp.float32),'
+        'jnp.zeros((256, 1024), jnp.float32),'
+        'jnp.zeros((1024,), jnp.float32)).compile()\n'),
 }
 
 

@@ -482,9 +482,12 @@ AGENDA = [
     # (2) compile-only byte probes of the full 512px program — the chain
     # is only worth a wall-clock attempt if bytes land UNDER the 97.3 GB
     # bf16 baseline, (3) bounded wall-clocks for both backends.
+    # fc2 first (the simpler kernel — no row-max epilogue); fc1 carries
+    # the VQ-crash-like shape signature, its tm=64 fallback bisects
     ('int8mlp_ktest', [PY, 'scripts/pallas_compile_probe.py',
-                       '--kernels', 'int8mmq_fc1,int8mmq_fc2',
-                       '--timeout', '120'], 400, None, False),
+                       '--kernels', 'int8mmq_fc2,int8mmq_fc1,'
+                       'int8mmq_fc1_tm64',
+                       '--timeout', '120'], 500, None, False),
     ('hlo_bytes_int8mlp_xla', [PY, 'scripts/perf_probe.py', '512', '1',
                                '--int8-mlp', '--compile-only'], 700,
      None, False),

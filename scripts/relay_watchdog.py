@@ -482,20 +482,25 @@ AGENDA = [
     # (2) compile-only byte probes of the full 512px program — the chain
     # is only worth a wall-clock attempt if bytes land UNDER the 97.3 GB
     # bf16 baseline, (3) bounded wall-clocks for both backends.
-    # fc2 first (the simpler kernel — no row-max epilogue); fc1 carries
-    # the VQ-crash-like shape signature, its tm=64 fallback bisects
+    # Reordered 2026-08-20 (session 5, short close-out window): the XLA
+    # byte probe is the DECISIVE gate for the whole chain idea (if the
+    # chain's program bytes land >= 97.3 GB even the XLA variant is
+    # dead), it is crash-safe (no tpu_custom_call), and it may co-run
+    # with pytest — so it goes first. The Mosaic ktest (fc1 carries the
+    # VQ-crash-like shape signature; fc2 is the simple one) and the
+    # pallas phases follow only once the XLA evidence is banked.
+    ('hlo_bytes_int8mlp_xla', [PY, 'scripts/perf_probe.py', '512', '1',
+                               '--int8-mlp', '--compile-only'], 700,
+     None, False),
+    ('r4e_int8mlp_xla', [PY, 'scripts/perf_probe.py', '512', '1',
+                         '--int8-mlp'], 880, None, False),
     ('int8mlp_ktest', [PY, 'scripts/pallas_compile_probe.py',
                        '--kernels', 'int8mmq_fc2,int8mmq_fc1,'
                        'int8mmq_fc1_tm64',
                        '--timeout', '120'], 500, None, False),
-    ('hlo_bytes_int8mlp_xla', [PY, 'scripts/perf_probe.py', '512', '1',
-                               '--int8-mlp', '--compile-only'], 700,
-     None, False),
     ('hlo_bytes_int8mlp_pl', [PY, 'scripts/perf_probe.py', '512', '1',
                               '--int8-mlp', '--compile-only'], 700,
      {'FEMASR_INT8_BACKEND': 'pallas'}, False),
-    ('r4e_int8mlp_xla', [PY, 'scripts/perf_probe.py', '512', '1',
-                         '--int8-mlp'], 880, None, False),
     ('r4e_int8mlp_pl', [PY, 'scripts/perf_probe.py', '512', '1',
                         '--int8-mlp'], 880,
      {'FEMASR_INT8_BACKEND': 'pallas'}, False),

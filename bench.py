@@ -249,11 +249,14 @@ def _child(tile):
     # (tests/test_int8_quality.py) and disclosed in the unit string.
     BENCH_FLAGS = {}
     if os.environ.get('FEMASR_BENCH_INT8') == '1':
-        # quality-gated int8 serving lane. The per-tensor all-int8 config
-        # (int8_tail+swin+enc_up) measured a byte BLOWUP on the chip
-        # (97.3 -> 151.8/174.5 GB, -64% wall-clock — FORMULATIONS.md), so
-        # the lane now runs the per-token CHAIN candidate: swin MLPs only,
-        # int8 I/O between fc1/fc2, epilogue quantize (ops/swin.py Mlp).
+        # quality-gated int8 serving lane — kept for A/Bs only; every
+        # measured int8 formulation LOSES on this program (FORMULATIONS.md):
+        # per-tensor all-int8 97.3 -> 151.8/174.5 GB (-64% wall-clock,
+        # 2026-08-19); the per-token CHAIN this lane runs measured
+        # 114.1 GB / 174.9 ms (XLA) and 121.4 GB / 269.5 ms (pallas)
+        # vs 97.3 GB / 157 ms bf16 (r4e phases, 2026-08-20) — the
+        # quantize passes and custom-call boundaries materialize more
+        # HBM traffic than the 2x MXU rate saves at these shapes.
         # Backend: FEMASR_INT8_BACKEND=pallas for the fused kernel, unset
         # for the pure-XLA chain (no custom-call fusion barriers).
         BENCH_FLAGS = dict(int8_mlp=True)

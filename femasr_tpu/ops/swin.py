@@ -203,6 +203,43 @@ def dense(features: int, use_bias: bool = True, dtype: Dtype = jnp.float32,
                     param_dtype=jnp.float32, name=name)
 
 
+class _QKV3(nn.Module):
+    """Three-separate-dot qkv projection (`FEMASR_QKV=3mm` A/B point).
+
+    Same `qkv/{kernel,bias}` param tree as ``nn.Dense(3C)`` (checkpoint-
+    compatible), but q/k/v come from three dots on trace-time column
+    slices of the packed KERNEL — the packed (B_, N, 3C) activation and
+    its (B_, N, 3, nh, hd) reshape never exist, so XLA's layout
+    assignment has no packed tensor to relay out between the projection
+    fusion and the two attention dots (the 0.2 GB/block materialized
+    `copy` flagged by `scripts/hlo_bytes.py --opcode copy`, 2026-08-20:
+    ~4.7 GB of the 97.3 GB 512px program). Weight slices cost ~0.5 MB
+    each per block — noise. Distinct from the removed FEMASR_QKV=slice
+    loser, which sliced the packed ACTIVATION (three strided column
+    reads of a 100 MB tensor each materialized, +8 GB)."""
+    features: int            # 3C, matching nn.Dense(features)
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+        c = self.features // 3
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = (self.param('bias', nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        outs = []
+        for i in range(3):
+            o = xd @ kd[:, i * c:(i + 1) * c]
+            if bias is not None:
+                o = o + bias[i * c:(i + 1) * c].astype(self.dtype)
+            outs.append(o)
+        return tuple(outs)
+
+
 class Mlp(nn.Module):
     """fc1 -> GELU(exact) -> fc2 (network_swinir.py:14-30; dropout rate 0)."""
     hidden_features: int
@@ -289,8 +326,14 @@ class WindowAttention(nn.Module):
             ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1), nh),
             jnp.float32)
 
-        qkv = dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                    int8=self.int8_linears, name='qkv')(x)
+        use_3mm = (os.environ.get('FEMASR_QKV') == '3mm'
+                   and not self.int8_linears and self.backend != 'pallas')
+        if use_3mm:
+            ql, kl, vl = _QKV3(c * 3, use_bias=self.qkv_bias,
+                               dtype=self.dtype, name='qkv')(x)
+        else:
+            qkv = dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                        int8=self.int8_linears, name='qkv')(x)
 
         rpi_flat = relative_position_index(*self.window_size).reshape(-1)
 
@@ -315,11 +358,18 @@ class WindowAttention(nn.Module):
         # unstack — measured 97.3 GB full-program traffic. The minor-dim
         # slice formulation (FEMASR_QKV=slice) measured an +8 GB REGRESSION
         # (the three strided column slices each materialized where the
-        # single reshape fused) and was removed; see FORMULATIONS.md.
-        qkv = qkv.reshape(b_, n, 3, nh, head_dim)
-        q = qkv[:, :, 0] * scale   # (B_, N, nh, hd)
-        k = qkv[:, :, 1]
-        v = qkv[:, :, 2]
+        # single reshape fused) and was removed; FEMASR_QKV=3mm (weight-
+        # slice, three dots — see _QKV3) is the live A/B against the
+        # packed tensor's per-block relayout copy. See FORMULATIONS.md.
+        if use_3mm:
+            q = ql.reshape(b_, n, nh, head_dim) * scale
+            k = kl.reshape(b_, n, nh, head_dim)
+            v = vl.reshape(b_, n, nh, head_dim)
+        else:
+            qkv = qkv.reshape(b_, n, 3, nh, head_dim)
+            q = qkv[:, :, 0] * scale   # (B_, N, nh, hd)
+            k = qkv[:, :, 1]
+            v = qkv[:, :, 2]
 
         # window packing factor actually usable at this call's geometry:
         # must divide the windows-per-image count so groups never mix the

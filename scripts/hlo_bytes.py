@@ -127,13 +127,16 @@ def fusion_metadata(hlo):
     return meta
 
 
-def analyze(hlo, top_n=40, scope_depth=3, scope_filter=None):
+def analyze(hlo, top_n=40, scope_depth=3, scope_filter=None,
+            opcode_filter=None):
     # ENTRY computation: from 'ENTRY' to the closing brace at column 0
     m = re.search(r'^ENTRY [^\n]*\{$(.*?)^\}', hlo, re.M | re.S)
     body = m.group(1) if m else hlo
     fmeta = fusion_metadata(hlo)
 
     out_bytes = {}
+    defs = {}   # instr name -> (opcode, scope) of its definition
+    uses = defaultdict(list)   # instr name -> [(consumer opcode, scope)]
     rows = []
     for line in body.splitlines():
         mi = INSTR_RE.match(line)
@@ -142,8 +145,6 @@ def analyze(hlo, top_n=40, scope_depth=3, scope_filter=None):
         name, shape_s, opcode, rest = mi.groups()
         ob = parse_shape_bytes(shape_s, logical=True)
         out_bytes[name] = ob
-        if opcode in FREE_OPS:
-            continue
         # operands: %refs inside the first paren group (before ), kind= etc)
         depth_p, end = 1, len(rest)
         for i, ch in enumerate(rest):
@@ -164,32 +165,57 @@ def analyze(hlo, top_n=40, scope_depth=3, scope_filter=None):
             if mcall:
                 op_name = fmeta.get(mcall.group(1))
         op_name = op_name or '(no-metadata)'
+        defs[name] = (opcode, op_name)
+        for o in opnds:
+            if o in defs:
+                uses[o].append((opcode, op_name))
+        if opcode in FREE_OPS:
+            continue
         if scope_filter and scope_filter not in op_name:
             continue
+        if opcode_filter and opcode != opcode_filter:
+            continue
         rows.append((ib + ob, ob, ib, opcode, name, shape_s.strip(),
-                     op_name))
+                     op_name, opnds))
 
-    rows.sort(reverse=True)
+    rows.sort(key=lambda r: r[:7], reverse=True)
     total = sum(r[0] for r in rows)
     print(f'TOTAL traffic (operands+outputs, LOGICAL bytes — the '
           f'cost_analysis/wall-clock currency): '
           f'{total / 1e9:.2f} GB -> {total / 819e9 * 1e3:.1f} ms @819GB/s')
     print(f'\n== top {top_n} instructions ==')
-    for tb, ob, ib, opcode, name, shape_s, op_name in rows[:top_n]:
+    for tb, ob, ib, opcode, name, shape_s, op_name, opnds in rows[:top_n]:
         sh = shape_s if len(shape_s) < 48 else shape_s[:45] + '...'
         scope = op_name if len(op_name) < 80 else '...' + op_name[-77:]
         print(f'  {tb / 1e9:7.2f} GB (out {ob / 1e9:6.2f}) {opcode:14s} '
               f'{sh:48s} {scope}')
+        if opcode_filter:
+            # producer/consumer context: who feeds this op, who reads it —
+            # the data the copy-elimination campaign needs (a copy whose
+            # producer and consumer are both fusions is a layout
+            # assignment artifact; one flanked by convolutions is an
+            # NHWC<->blocked relayout; one feeding a custom-call is an
+            # alignment pad)
+            for o in opnds:
+                if o in defs:
+                    pop, pscope = defs[o]
+                    pscope = pscope if len(pscope) < 70 else \
+                        '...' + pscope[-67:]
+                    print(f'      <- {pop:14s} {pscope}')
+            for cop, cscope in uses.get(name, [])[:4]:
+                cscope = cscope if len(cscope) < 70 else \
+                    '...' + cscope[-67:]
+                print(f'      -> {cop:14s} {cscope}')
 
     by_op = defaultdict(float)
-    for tb, *_r in rows:
-        by_op[_r[2]] += tb
+    for tb, _ob, _ib, opcode, *_r in rows:
+        by_op[opcode] += tb
     print('\n== by opcode ==')
     for k, v in sorted(by_op.items(), key=lambda kv: -kv[1]):
         print(f'  {v / 1e9:8.2f} GB  {k}')
 
     by_scope = defaultdict(float)
-    for tb, ob, ib, opcode, name, shape_s, op_name in rows:
+    for tb, ob, ib, opcode, name, shape_s, op_name, _o in rows:
         by_scope[scope_of(op_name, scope_depth)] += tb
     print(f'\n== by scope (depth {scope_depth}) ==')
     for k, v in sorted(by_scope.items(), key=lambda kv: -kv[1]):
@@ -212,6 +238,9 @@ def main():
     ap.add_argument('--filter', default=None,
                     help='only attribute instructions whose op_name '
                          'contains this substring (e.g. blocks_1)')
+    ap.add_argument('--opcode', default=None,
+                    help='restrict to one opcode (e.g. copy) and print '
+                         'each listed op\'s producer/consumer context')
     ap.add_argument('--from-dump', default=None,
                     help='analyze a previously dumped HLO text file '
                          '(no compile, no backend needed)')
@@ -219,7 +248,8 @@ def main():
 
     if args.from_dump:
         with open(args.from_dump) as f:
-            analyze(f.read(), args.top, args.scope_depth, args.filter)
+            analyze(f.read(), args.top, args.scope_depth, args.filter,
+                args.opcode)
         return
 
     import jax
@@ -256,7 +286,7 @@ def main():
     if args.dump:
         with open(args.dump, 'w') as f:
             f.write(hlo)
-    analyze(hlo, args.top, args.scope_depth, args.filter)
+    analyze(hlo, args.top, args.scope_depth, args.filter, args.opcode)
 
 
 if __name__ == '__main__':

@@ -216,7 +216,14 @@ class _QKV3(nn.Module):
     ~4.7 GB of the 97.3 GB 512px program). Weight slices cost ~0.5 MB
     each per block — noise. Distinct from the removed FEMASR_QKV=slice
     loser, which sliced the packed ACTIVATION (three strided column
-    reads of a 100 MB tensor each materialized, +8 GB)."""
+    reads of a 100 MB tensor each materialized, +8 GB).
+
+    MEASURED (compile-only byte probe, 2026-08-20, bench_evidence/
+    copy_attrib_512_qkv3mm_r4.txt): the attn relayout copies do
+    disappear, but total program bytes REGRESS 97.29 → 98.88 GB and
+    copy traffic stays flat (12.94 vs 12.91 GB) — f32 `norm1` moment
+    copies (~0.14 GB/block) materialize instead once the LN output
+    feeds three dots. Archived loser; see FORMULATIONS.md."""
     features: int            # 3C, matching nn.Dense(features)
     use_bias: bool = True
     dtype: Dtype = jnp.float32

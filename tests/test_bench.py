@@ -129,3 +129,66 @@ def test_child_batch_ladder_policy(bench):
     # chain attempt must be budget-guarded so the parent never TERMs a
     # fresh chain compile mid-flight
     assert 'child_remaining() < 150' in src
+
+
+def test_fail_json_prefers_banked_last_good(bench, monkeypatch, capsys,
+                                            tmp_path):
+    # VERDICT r4 missing#3: two of four driver captures recorded 0.0 when
+    # the relay flapped through the window. A banked real measurement
+    # (refreshed by every successful default-config 512 run) must be
+    # emitted instead, clearly labeled STALE with its UTC timestamp.
+    lg = tmp_path / 'last_good.json'
+    lg.write_text(json.dumps({
+        'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
+        'value': 1.669, 'unit': 'MP/s orig-unit', 'vs_baseline': 1.113,
+        'ts_utc': '2026-08-20 03:29:02'}))
+    monkeypatch.setattr(bench, 'LAST_GOOD', str(lg))
+    bench._fail_json('relay down')
+    got = json.loads(capsys.readouterr().out.strip())
+    assert got['value'] == 1.669
+    assert got['vs_baseline'] == 1.113
+    assert 'STALE' in got['unit']
+    assert '2026-08-20 03:29:02' in got['unit']
+    assert 'MP/s orig-unit' in got['unit']
+
+
+def test_fail_json_without_bank_is_zero(bench, monkeypatch, capsys,
+                                        tmp_path):
+    monkeypatch.setattr(bench, 'LAST_GOOD', str(tmp_path / 'missing.json'))
+    bench._fail_json('relay down')
+    got = json.loads(capsys.readouterr().out.strip())
+    assert got['value'] == 0.0
+    assert got['vs_baseline'] is None
+
+
+def test_ladder_retries_headline_rung_across_wall_budget(
+        bench, monkeypatch, capsys):
+    # VERDICT r4 next#2a: one bounded attempt per rung is not enough on a
+    # flapping relay — after the ladder fails, the headline rung must be
+    # retried (with varied-input salting in the child) until the wall
+    # budget is nearly spent or a number lands.
+    calls = []
+    outcomes = [None, None, None, None,  # ladder (512,256,128) + retry 1
+                json.dumps({'metric': 'm', 'value': 1.65, 'unit': 'u',
+                            'vs_baseline': 1.1})]
+
+    def fake_run_bounded(argv, budget_s, env=None):
+        tile = int(argv[-1])
+        calls.append(tile)
+        out = outcomes[min(len(calls) - 1, len(outcomes) - 1)]
+        return (0, out + '\n', '') if out else (None, '', '')
+
+    monkeypatch.setattr(bench, '_run_bounded', fake_run_bounded)
+    monkeypatch.setattr(bench, '_cache_warm', lambda: True)
+    monkeypatch.setattr(bench.time, 'sleep', lambda s: None)
+    monkeypatch.setenv('FEMASR_BENCH_SKIP_PROBE', '1')
+    monkeypatch.delenv('FEMASR_BENCH_TILES', raising=False)
+    monkeypatch.delenv('FEMASR_BENCH_ORDER', raising=False)
+    bench.main()
+    out = capsys.readouterr().out
+    got = json.loads(next(ln for ln in reversed(out.splitlines())
+                          if ln.startswith('{')))
+    assert got['value'] == 1.65
+    assert calls[:3] == [512, 256, 128]  # descending ladder first
+    assert all(t == 512 for t in calls[3:])  # retries target the headline
+    assert len(calls) == 5

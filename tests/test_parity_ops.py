@@ -367,11 +367,10 @@ def test_shift_window_permutation_roundtrip():
 
 
 @pytest.mark.parametrize('shift', [0, 4])
-def test_qkv_3mm_exact(shift):
+def test_qkv_3mm_exact(shift, monkeypatch):
     """FEMASR_QKV=3mm (three weight-slice dots, _QKV3) matches the packed
     single-dense qkv path with the same param tree (checkpoint-compatible);
     forward and grads agree to f32 matmul reduction-order noise."""
-    import os
     from femasr_tpu.ops.swin import SwinTransformerBlock
     rng = np.random.default_rng(11)
     blk = SwinTransformerBlock(dim=32, input_resolution=(16, 16),
@@ -381,19 +380,18 @@ def test_qkv_3mm_exact(shift):
     params = blk.init(jax.random.PRNGKey(0), x)
     ref = blk.apply(params, x)
     g_base = jax.grad(lambda p: jnp.sum(jnp.square(blk.apply(p, x))))(params)
-    os.environ['FEMASR_QKV'] = '3mm'
-    try:
-        p2 = blk.init(jax.random.PRNGKey(0), x)
-        assert (jax.tree_util.tree_structure(params)
-                == jax.tree_util.tree_structure(p2))
-        for a, b in zip(jax.tree_util.tree_leaves(params),
-                        jax.tree_util.tree_leaves(p2)):
-            assert a.shape == b.shape
-        out = blk.apply(params, x)
-        g_3mm = jax.grad(lambda p: jnp.sum(jnp.square(
-            blk.apply(p, x))))(params)
-    finally:
-        os.environ.pop('FEMASR_QKV', None)
+    # monkeypatch restores any externally-set FEMASR_QKV (ADVICE r4)
+    monkeypatch.setenv('FEMASR_QKV', '3mm')
+    p2 = blk.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        assert a.shape == b.shape
+    out = blk.apply(params, x)
+    g_3mm = jax.grad(lambda p: jnp.sum(jnp.square(
+        blk.apply(p, x))))(params)
+    monkeypatch.delenv('FEMASR_QKV')
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g_base),
                     jax.tree_util.tree_leaves(g_3mm)):

@@ -447,7 +447,7 @@ AGENDA_R4_DONE += [
 # bench, then (2) the still-unrun int8 serving A/Bs (the only identified
 # lever past the ~2.1 MP/s byte roofline), then (3) the TPU composite
 # batch-layout magnitudes (compile-only), then repeating bench_warm.
-AGENDA = [
+AGENDA_R4B_DONE = [
     ('r4d_warm512', [PY, 'bench.py'], 880,
      {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '512',
       'FEMASR_BENCH_BUDGET_S': '840'}, False),
@@ -504,6 +504,44 @@ AGENDA = [
     ('r4e_int8mlp_pl', [PY, 'scripts/perf_probe.py', '512', '1',
                         '--int8-mlp'], 880,
      {'FEMASR_INT8_BACKEND': 'pallas'}, False),
+]
+
+# --- ROUND-5 agenda (2026-08-20) ----------------------------------------
+# VERDICT r4 next #3 (roofline-gap segment attribution) and #4 (the
+# varied-input training-claim discriminator), then repeating bench_warm
+# to hold the ladder caches through driver collection. Prefix probes
+# compile one big 512px program variant per stage (2-4 min each when the
+# relay is degraded), so they are split across phases; each phase's
+# compiles land in the persistent cache, making retries cheap.
+AGENDA = [
+    # VERDICT #3: wall-delta vs byte-delta per cumulative prefix of the
+    # serving forward decides dispatch-overhead vs below-bandwidth
+    # segment. Stages split 2-3 per phase to fit degraded compiles.
+    ('r5_prefix_enc', [PY, 'scripts/serve_prefix_probe.py', '512',
+                       '--stages', 'enc,vq'], 880, None, False),
+    ('r5_prefix_mid', [PY, 'scripts/serve_prefix_probe.py', '512',
+                       '--stages', 'aq,dec0'], 880, None, False),
+    ('r5_prefix_tail', [PY, 'scripts/serve_prefix_probe.py', '512',
+                        '--stages', 'dec1,dec2,full'], 880, None, False),
+    # VERDICT #4: the 105 ms b8 G+D claim vs the gen-chain 1608 ms — the
+    # segment probe folds a distinct `base` scalar into every dispatch
+    # (value-cache-proof); pair it with a gen-chain run in the SAME
+    # window. If ~105 ms survives, the README claim stands; if not, the
+    # honest number changes.
+    ('r5_train_varied', [PY, 'scripts/train_segment_probe.py',
+                         '--segments', 'full', '--chain', '8',
+                         '--dispatches', '3'], 880, None, False),
+    ('r5_train_gen8', [PY, 'scripts/train_step_probe.py',
+                       '--gen-chain', '8', '--no-degrade',
+                       '--iters', '3'], 880, None, False),
+    # VERDICT #1: full materialized-copy + slice ranking (compile-only,
+    # may co-run with pytest) — the 12.91 GB lever's class tail.
+    ('hlo_bytes_copyfull', [PY, 'scripts/hlo_bytes.py', '512', '1',
+                            '--opcode', 'copy', '--top', '100'],
+     700, None, False),
+    ('hlo_bytes_slicefull', [PY, 'scripts/hlo_bytes.py', '512', '1',
+                             '--opcode', 'slice', '--top', '40'],
+     700, None, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

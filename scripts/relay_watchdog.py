@@ -517,12 +517,18 @@ AGENDA = [
     # VERDICT #3: wall-delta vs byte-delta per cumulative prefix of the
     # serving forward decides dispatch-overhead vs below-bandwidth
     # segment. Stages split 2-3 per phase to fit degraded compiles.
-    ('r5_prefix_enc', [PY, 'scripts/serve_prefix_probe.py', '512',
-                       '--stages', 'enc,vq'], 880, None, False),
-    ('r5_prefix_mid', [PY, 'scripts/serve_prefix_probe.py', '512',
-                       '--stages', 'aq,dec0'], 880, None, False),
-    ('r5_prefix_tail', [PY, 'scripts/serve_prefix_probe.py', '512',
-                        '--stages', 'dec1,dec2,full'], 880, None, False),
+    # v2 2026-08-20 06:40: r5_prefix_enc exposed two probe bugs (a /K on
+    # scan-body-once cost_analysis, and DCE of not-yet-consumed encoder
+    # heads making deltas non-monotone); v2 re-runs all stages with the
+    # fixed script (live-set checksums + no /K). The buggy run still
+    # bounded the story: encoder-with-all-heads = 91.3 ms of the 157 ms
+    # tile at ~63.5 GB of the 97.3 GB program.
+    ('r5p2_prefix_enc', [PY, 'scripts/serve_prefix_probe.py', '512',
+                         '--stages', 'enc,vq'], 880, None, False),
+    ('r5p2_prefix_mid', [PY, 'scripts/serve_prefix_probe.py', '512',
+                         '--stages', 'aq,dec0'], 880, None, False),
+    ('r5p2_prefix_tail', [PY, 'scripts/serve_prefix_probe.py', '512',
+                          '--stages', 'dec1,dec2,full'], 880, None, False),
     # VERDICT #4: the 105 ms b8 G+D claim vs the gen-chain 1608 ms — the
     # segment probe folds a distinct `base` scalar into every dispatch
     # (value-cache-proof); pair it with a gen-chain run in the SAME

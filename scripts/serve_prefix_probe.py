@@ -67,24 +67,36 @@ def main():
         jnp.zeros((1, t, t, 3), jnp.bfloat16))['params']
 
     def make_prefix(stage):
-        """Replicates encode_and_decode (femasr_arch.py) up to `stage`."""
+        """Replicates encode_and_decode (femasr_arch.py) up to `stage`.
+
+        Every prefix RETURNS a checksum over all intermediates that are
+        still live at that point in the FULL program (the encoder scale
+        outputs feed decoder skips) — otherwise XLA dead-code-eliminates
+        the not-yet-consumed encoder heads and the prefix deltas stop
+        being segment costs (observed r5_prefix_enc: the vq prefix
+        measured FEWER bytes and less wall than the enc prefix because
+        enc[1], enc[2] were DCE'd)."""
         def fn(m, x):
             enc = m.multiscale_encoder(x, False)[-3:]
+            live = sum(jnp.sum(o.astype(jnp.float32)) for o in enc)
             if stage == 'enc':
-                return sum(jnp.sum(o.astype(jnp.float32)) for o in enc)
+                return live
             feat = m.before_quant_group[0](enc[0])
             z_quant, cb_loss, _ = m.quantize_group[0](feat, None)
             if stage == 'vq':
-                return jnp.sum(z_quant.astype(jnp.float32)) + cb_loss
+                return live + jnp.sum(z_quant.astype(jnp.float32)) + cb_loss
             out = m.after_quant_group[0](z_quant, None)
             if stage == 'aq':
-                return jnp.sum(out.astype(jnp.float32))
+                return live + jnp.sum(out.astype(jnp.float32))
             for i in range(m.max_depth):
                 if i > 0:
                     out = out + enc[i]
                 out = m.decoder_group[i](out, False)
                 if stage == f'dec{i}':
-                    return jnp.sum(out.astype(jnp.float32))
+                    # enc heads > i stay live for later skips
+                    tail = sum(jnp.sum(o.astype(jnp.float32))
+                               for o in enc[i + 1:])
+                    return tail + jnp.sum(out.astype(jnp.float32))
             return jnp.sum(m.out_conv(out).astype(jnp.float32))
         return fn
 
@@ -113,7 +125,12 @@ def main():
                                              jnp.bfloat16)).compile()
         tc = time.perf_counter() - t0
         ca = compiled.cost_analysis() or {}
-        byts = float(ca.get('bytes accessed', 0)) / K
+        # HloCostAnalysis counts the lax.map/scan BODY ONCE (verified on
+        # this jax build, NOTES_ROUND4.md session 3) — so the reported
+        # figure IS per-tile already; do NOT divide by K (the original /K
+        # here reproduced the round-4 '2% MFU' accounting bug and printed
+        # enc at 7.9 GB when the real figure is ~63 GB).
+        byts = float(ca.get('bytes accessed', 0))
         print(f'# {stage}: compile {tc:.1f}s, bytes/tile '
               f'{byts / 1e9:.2f} GB -> HBM roofline '
               f'{byts / 819e9 * 1e3:.1f} ms', flush=True)

@@ -293,7 +293,7 @@ def _child(tile):
     # BENCH_FLAGS: serving configuration knobs validated by the round-3
     # relay-watchdog A/B phases (scripts/relay_watchdog.py). Only flags
     # that measurably beat the plain bf16 path on the real chip get
-    # enabled here; exact-math flags (attn_pack, s2d_tail, fused_upsample)
+    # enabled here; exact-math flags (s2d_tail, fused_upsample)
     # leave outputs bit-comparable, int8_* flags are quality-gated
     # (tests/test_int8_quality.py) and disclosed in the unit string.
     BENCH_FLAGS = {}

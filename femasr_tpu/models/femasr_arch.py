@@ -282,8 +282,6 @@ class MultiScaleEncoder(nn.Module):
     int8_swin: bool = False
     int8_mlp: bool = False
     attn_layout: str = 'spatial'
-    attn_pack: int = 1
-    attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -306,8 +304,6 @@ class MultiScaleEncoder(nn.Module):
             x = SwinLayers(mlp_ratio=self.swin_mlp_ratio,
                            use_checkpoint=self.use_checkpoint,
                            attn_layout=self.attn_layout,
-                           attn_pack=self.attn_pack,
-                           attn_pack_shifted=self.attn_pack_shifted,
                            int8_linears=self.int8_swin,
                            int8_mlp=self.int8_mlp,
                            dtype=self.dtype,
@@ -380,13 +376,6 @@ class FeMaSRNet(nn.Module):
     # per RSTB group; SW-MSA shifts as static row gathers). Bit-exact; see
     # ops/swin.py BasicLayer. Env override FEMASR_SWIN_LAYOUT for A/Bs.
     attn_layout: str = 'spatial'
-    # window-packing factor for the swin attention einsums (exact math for
-    # any value — cross-window terms are masked to exp -> 0; see
-    # ops/swin.py WindowAttention.pack)
-    attn_pack: int = 1
-    # False: leave SW-MSA (masked) blocks unpacked — isolates the packed
-    # shift-mask constant cost (NOTES_ROUND2.md attn_pack findings)
-    attn_pack_shifted: bool = True
     dtype: Dtype = jnp.float32
 
     @property
@@ -422,8 +411,6 @@ class FeMaSRNet(nn.Module):
             int8_enc_up=self.int8_enc_up, int8_swin=self.int8_swin,
             int8_mlp=self.int8_mlp,
             attn_layout=self.attn_layout,
-            attn_pack=self.attn_pack,
-            attn_pack_shifted=self.attn_pack_shifted,
             dtype=self.dtype)
 
         assert not (self.s2d_tail and self.int8_tail), (

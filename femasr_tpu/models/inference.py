@@ -45,7 +45,7 @@ class SRInferencer:
                  max_tile_batch: int = 1, lq_stage: bool = True,
                  model: Optional[FeMaSRNet] = None, init_merge: bool = True,
                  mesh=None, tensor_parallel: bool = False,
-                 attn_pack: int = 1, s2d_tail: bool = False,
+                 s2d_tail: bool = False,
                  int8_tail: bool = False, int8_levels: int = 1,
                  int8_enc_up: bool = False, int8_swin: bool = False):
         self.model = model or FeMaSRNet(
@@ -53,7 +53,7 @@ class SRInferencer:
             LQ_stage=lq_stage, scale_factor=scale_factor,
             gt_resolution=gt_resolution, norm_type=norm_type,
             act_type=act_type, vq_backend=vq_backend, dtype=dtype,
-            attn_pack=attn_pack, s2d_tail=s2d_tail, int8_tail=int8_tail,
+            s2d_tail=s2d_tail, int8_tail=int8_tail,
             int8_levels=int8_levels, int8_enc_up=int8_enc_up,
             int8_swin=int8_swin)
         if init_merge:

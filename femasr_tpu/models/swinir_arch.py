@@ -71,7 +71,6 @@ class SwinIR(nn.Module):
     upsampler: str = ''
     resi_connection: str = '1conv'
     attn_layout: str = 'spatial'
-    attn_pack: int = 1
     dtype: Any = jnp.float32
 
     def _features(self, x: jax.Array) -> jax.Array:
@@ -94,8 +93,7 @@ class SwinIR(nn.Module):
                      window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                      qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                      use_checkpoint=self.use_checkpoint,
-                     attn_layout=self.attn_layout,
-                     attn_pack=self.attn_pack, dtype=self.dtype,
+                     attn_layout=self.attn_layout, dtype=self.dtype,
                      name=f'layers_{i}')(x)
         return LayerNormTPU(epsilon=1e-5, dtype=self.dtype, name='norm')(x)
 

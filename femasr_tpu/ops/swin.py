@@ -19,7 +19,6 @@ TPU-first design:
 from __future__ import annotations
 
 import functools
-import math
 import os
 from typing import Any, Optional, Tuple
 
@@ -75,33 +74,6 @@ def shifted_window_mask(h: int, w: int, window_size: int,
     mask = mask.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
     attn_mask = mask[:, None, :] - mask[:, :, None]
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
-
-
-_PACK_NEG = -1e9  # exp(_PACK_NEG - max) == 0.0 exactly in f32 and bf16
-
-
-def _pack_block_mask(p: int, n: int) -> np.ndarray:
-    """(p*n, p*n) additive mask: 0 on the p diagonal n x n blocks, -1e9 off.
-
-    Used by the window-packing attention layout (see WindowAttention.pack):
-    stacking p windows along the token axis turns the (64, 32, 64) batched
-    attention matmuls into MXU-friendly (p*64)-sized ones; the block-diagonal
-    mask zeroes cross-window attention exactly (softmax of -1e9 underflows to
-    0.0), so the math is bit-identical to the unpacked form.
-    """
-    eye = np.eye(p, dtype=np.float32)
-    return np.kron(1.0 - eye, np.full((n, n), _PACK_NEG, np.float32))
-
-
-def _pack_shift_mask(mask: np.ndarray, p: int) -> np.ndarray:
-    """Pack the (nW, N, N) SW-MSA mask into (nW//p, p*N, p*N) block-diagonal
-    form with -1e9 off the diagonal blocks (cross-window isolation)."""
-    nw, n, _ = mask.shape
-    out = np.tile(_pack_block_mask(p, n)[None], (nw // p, 1, 1))
-    grouped = mask.reshape(nw // p, p, n, n)
-    for i in range(p):
-        out[:, i * n:(i + 1) * n, i * n:(i + 1) * n] = grouped[:, i]
-    return out
 
 
 @functools.lru_cache(maxsize=None)
@@ -295,33 +267,21 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     # 'xla' (default) or 'pallas' — the fused VMEM-resident kernel
-    # (ops/pallas/window_attention.py); pallas is unvalidated on this
-    # harness's relay, keep opt-in (same policy as vq_backend)
+    # (ops/pallas/window_attention.py); pallas measured -40% wall-clock
+    # at this geometry (FORMULATIONS.md), keep opt-in (same policy as
+    # vq_backend). The 'nhwc' and window-packing formulations were
+    # DELETED round 5 after measuring 222.6 / 114.9-125.8 GB program
+    # bytes vs 97.3 baseline (FORMULATIONS.md archived rows).
     backend: str = 'xla'
-    # window packing factor: stack `pack` windows along the token axis so the
-    # attention matmuls run at (pack*N, hd, pack*N) / (pack*N, pack*N, hd)
-    # instead of XLA's batched-small-dot floor (2048 independent 64x32x64
-    # dots measured ~0.5 TF/s on v5e). Cross-window terms are masked to
-    # exact zero, so results are identical for any pack value; the FLOP
-    # waste is pack x on the ~1%-of-model attention einsums.
-    pack: int = 1
-    # apply packing to shifted (masked) blocks too; False keeps SW-MSA
-    # blocks unpacked (their packed mask constant is nW/p x (pN)^2 — an
-    # ablation knob for isolating constant-traffic cost)
-    pack_shifted: bool = True
     # w8a8 int8 qkv/proj linears (serving-only; attention einsums and
     # softmax stay in the float dtype — see FeMaSRNet.int8_swin)
     int8_linears: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[np.ndarray] = None,
-                 n_windows: Optional[int] = None) -> jax.Array:
-        """x: (B_, N, C) windows — or (B, H, W, C) unpartitioned when
-        backend='nhwc'; mask: static (nW, N, N) or None;
-        n_windows: static windows-per-image count (enables packing)."""
-        if x.ndim == 4:
-            return self._nhwc(x, mask)
+    def __call__(self, x: jax.Array, mask: Optional[np.ndarray] = None
+                 ) -> jax.Array:
+        """x: (B_, N, C) windows; mask: static (nW, N, N) or None."""
         b_, n, c = x.shape
         nh = self.num_heads
         head_dim = c // nh
@@ -378,20 +338,7 @@ class WindowAttention(nn.Module):
             k = qkv[:, :, 1]
             v = qkv[:, :, 2]
 
-        # window packing factor actually usable at this call's geometry:
-        # must divide the windows-per-image count so groups never mix the
-        # per-window SW-MSA mask pattern (and so B > 1 stays aligned).
-        p = math.gcd(self.pack, n_windows) if n_windows else 1
-        if mask is not None and not self.pack_shifted:
-            p = 1
-        if p > 1:
-            pn = p * n
-            g = b_ // p
-            q = q.reshape(g, pn, nh, head_dim)
-            k = k.reshape(g, pn, nh, head_dim)
-            v = v.reshape(g, pn, nh, head_dim)
-        else:
-            pn, g = n, b_
+        pn, g = n, b_
 
         # In float32 models the attention tensor is exact reference
         # semantics (f32 logits + f32 softmax). In reduced-precision models
@@ -405,25 +352,15 @@ class WindowAttention(nn.Module):
                           preferred_element_type=acc_dtype)
 
         bias = table[rpi_flat].reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
-        if p > 1:
-            # block-diagonal placement of the learned bias (off-diagonal
-            # blocks are dead: the pack mask drives them to exp -> 0)
-            eye = jnp.asarray(np.eye(p, dtype=np.float32))
-            bias = jnp.einsum('ij,hkl->hikjl', eye, bias).reshape(nh, pn, pn)
         attn = attn + bias[None].astype(acc_dtype)
 
         if mask is not None:
             mask_np = np.asarray(mask, dtype=np.float32)
-            if p > 1:
-                mask_np = _pack_shift_mask(mask_np, p)
             nwg = mask_np.shape[0]
             mask_c = jnp.asarray(mask_np, dtype=acc_dtype)
             attn = (attn.reshape(g // nwg, nwg, nh, pn, pn)
                     + mask_c[None, :, None])
             attn = attn.reshape(g, nh, pn, pn)
-        elif p > 1:
-            attn = attn + jnp.asarray(_pack_block_mask(p, n),
-                                      dtype=acc_dtype)[None, None]
 
         if acc_dtype == jnp.float32:
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
@@ -436,72 +373,6 @@ class WindowAttention(nn.Module):
             s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
             attn = e / s.astype(acc_dtype)
         out = jnp.einsum('bhnm,bmhd->bnhd', attn, v).reshape(b_, n, c)
-        return dense(c, dtype=self.dtype, int8=self.int8_linears,
-                     name='proj')(out)
-
-
-    def _nhwc(self, x: jax.Array,
-              mask: Optional[np.ndarray]) -> jax.Array:
-        """Transpose-free window attention on the unpartitioned (B,H,W,C)
-        map: window grouping lives in dot_general batch dims, so every
-        reshape splits contiguous axes (H->ny,ws; W->nx,ws; C->3,nh,hd)
-        and no physical partition/reverse copies are emitted. Same math
-        and the same 'qkv'/'proj'/bias params as the windowed path;
-        selected via attn_backend='nhwc' / FEMASR_ATTN=nhwc.
-
-        MEASURED NEGATIVE on v5e XLA (2026-08-17 byte probe): 222.6 GB
-        full-program vs 97.3 for the partitioned path — XLA lays the
-        8-D einsum operands out so badly that the saved partition copies
-        (~5 GB) are dwarfed. Kept as a formulation option for future
-        compiler versions; default stays 'xla'. (attn_pack loses on the
-        same probe: p=2 114.9 GB, p=4 125.8.)"""
-        b, h, w, c = x.shape
-        ws = self.window_size[0]
-        ny, nx = h // ws, w // ws
-        nh = self.num_heads
-        hd = c // nh
-        n = ws * ws
-        scale_q = self.qk_scale or hd ** -0.5
-
-        table = self.param(
-            'relative_position_bias_table',
-            nn.initializers.truncated_normal(stddev=0.02),
-            ((2 * ws - 1) * (2 * ws - 1), nh), jnp.float32)
-        qkv = dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                    int8=self.int8_linears, name='qkv')(x)
-        qkv = qkv.reshape(b, ny, ws, nx, ws, 3, nh, hd)
-        q = qkv[:, :, :, :, :, 0] * scale_q     # (b, ny, ws, nx, ws, nh, hd)
-        k = qkv[:, :, :, :, :, 1]
-        v = qkv[:, :, :, :, :, 2]
-
-        acc_dtype = (jnp.float32 if self.dtype == jnp.float32 else self.dtype)
-        # scores between tokens (p,q) and (r,s) of window (y,x), per head
-        attn = jnp.einsum('bypxqhd,byrxshd->byxhpqrs', q, k,
-                          preferred_element_type=acc_dtype)
-
-        rpi_flat = relative_position_index(ws, ws).reshape(-1)
-        bias = table[rpi_flat].reshape(n, n, nh).transpose(2, 0, 1)
-        bias = bias.reshape(nh, ws, ws, ws, ws)
-        attn = attn + bias[None, None, None].astype(acc_dtype)
-        if mask is not None:
-            mask_np = np.asarray(mask, np.float32).reshape(
-                ny, nx, ws, ws, ws, ws)
-            attn = attn + jnp.asarray(
-                mask_np, acc_dtype)[None, :, :, None]
-
-        a2 = attn.reshape(b, ny, nx, nh, ws, ws, n)
-        if acc_dtype == jnp.float32:
-            a2 = jax.nn.softmax(a2, axis=-1).astype(self.dtype)
-        else:
-            a_max = jax.lax.stop_gradient(
-                jnp.max(a2, axis=-1, keepdims=True))
-            e = jnp.exp(a2 - a_max)
-            s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
-            a2 = e / s.astype(acc_dtype)
-        attn = a2.reshape(b, ny, nx, nh, ws, ws, ws, ws)
-
-        out = jnp.einsum('byxhpqrs,byrxshd->bypxqhd', attn, v)
-        out = out.reshape(b, h, w, c)
         return dense(c, dtype=self.dtype, int8=self.int8_linears,
                      name='proj')(out)
 
@@ -522,8 +393,6 @@ class SwinTransformerBlock(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     attn_backend: str = 'xla'
-    attn_pack: int = 1
-    attn_pack_shifted: bool = True
     int8_linears: bool = False
     # per-token int8 chain for the MLP only (FEMASR_INT8_CHAIN=1) — the
     # candidate that does NOT pull qkv/proj into the per-tensor int8 path
@@ -561,17 +430,11 @@ class SwinTransformerBlock(nn.Module):
             dim=self.dim, window_size=(window_size, window_size),
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, backend=backend,
-            pack=self.attn_pack, pack_shifted=self.attn_pack_shifted,
             int8_linears=self.int8_linears,
             dtype=self.dtype, name='attn')
-        if backend == 'nhwc':
-            x = attn_mod(x, mask=mask)
-        else:
-            x_windows = window_partition(x, window_size)
-            attn_windows = attn_mod(
-                x_windows, mask=mask,
-                n_windows=(h // window_size) * (w // window_size))
-            x = window_reverse(attn_windows, window_size, h, w)
+        x_windows = window_partition(x, window_size)
+        attn_windows = attn_mod(x_windows, mask=mask)
+        x = window_reverse(attn_windows, window_size, h, w)
 
         if shift_size > 0:
             x = jnp.roll(x, (shift_size, shift_size), axis=(1, 2))
@@ -619,9 +482,8 @@ class SwinTransformerBlock(nn.Module):
             dim=self.dim, window_size=(window_size, window_size),
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, backend='xla',
-            pack=self.attn_pack, pack_shifted=self.attn_pack_shifted,
             int8_linears=self.int8_linears,
-            dtype=self.dtype, name='attn')(y, mask=mask, n_windows=nw)
+            dtype=self.dtype, name='attn')(y, mask=mask)
 
         if shift_size > 0:
             y = jnp.take(y.reshape(b, nw * n, c), jnp.asarray(inv),
@@ -657,8 +519,6 @@ class BasicLayer(nn.Module):
     # static row gathers), reverse once before the RSTB conv. Bit-exact;
     # selectable via FEMASR_SWIN_LAYOUT for byte A/Bs.
     attn_layout: str = 'spatial'
-    attn_pack: int = 1
-    attn_pack_shifted: bool = True
     int8_linears: bool = False
     int8_mlp: bool = False
     dtype: Dtype = jnp.float32
@@ -669,7 +529,7 @@ class BasicLayer(nn.Module):
         # for HBM, the TPU analogue of torch.utils.checkpoint.
         layout = os.environ.get('FEMASR_SWIN_LAYOUT', self.attn_layout)
         backend = os.environ.get('FEMASR_ATTN', self.attn_backend)
-        winmajor = layout == 'winmajor' and backend != 'nhwc'
+        winmajor = layout == 'winmajor'
         block_cls = (nn.remat(SwinTransformerBlock,
                               static_argnums=(2,) if winmajor else ())
                      if self.use_checkpoint else SwinTransformerBlock)
@@ -688,8 +548,6 @@ class BasicLayer(nn.Module):
                 shift_size=0 if (i % 2 == 0) else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale, attn_backend=self.attn_backend,
-                attn_pack=self.attn_pack,
-                attn_pack_shifted=self.attn_pack_shifted,
                 int8_linears=self.int8_linears,
                 int8_mlp=self.int8_mlp,
                 dtype=self.dtype, name=f'blocks_{i}')
@@ -717,8 +575,6 @@ class RSTB(nn.Module):
     use_checkpoint: bool = False
     attn_backend: str = 'xla'
     attn_layout: str = 'spatial'
-    attn_pack: int = 1
-    attn_pack_shifted: bool = True
     int8_linears: bool = False
     int8_mlp: bool = False
     dtype: Dtype = jnp.float32
@@ -732,8 +588,6 @@ class RSTB(nn.Module):
                        use_checkpoint=self.use_checkpoint,
                        attn_backend=self.attn_backend,
                        attn_layout=self.attn_layout,
-                       attn_pack=self.attn_pack,
-                       attn_pack_shifted=self.attn_pack_shifted,
                        int8_linears=self.int8_linears,
                        int8_mlp=self.int8_mlp,
                        dtype=self.dtype,
@@ -754,8 +608,6 @@ class SwinLayers(nn.Module):
     use_checkpoint: bool = False
     attn_backend: str = 'xla'
     attn_layout: str = 'spatial'
-    attn_pack: int = 1
-    attn_pack_shifted: bool = True
     # w8a8 int8 qkv/proj/fc1/fc2 linears (~96% of swin FLOPs; the v5e
     # int8 MXU path peaks at 2x bf16). Serving-only, checkpoint-free.
     # NOTE: swin feeds the quantizer, so int8 here can flip near-tie
@@ -775,8 +627,6 @@ class SwinLayers(nn.Module):
                      use_checkpoint=self.use_checkpoint,
                      attn_backend=self.attn_backend,
                      attn_layout=self.attn_layout,
-                     attn_pack=self.attn_pack,
-                     attn_pack_shifted=self.attn_pack_shifted,
                      int8_linears=self.int8_linears,
                      int8_mlp=self.int8_mlp,
                      dtype=self.dtype,

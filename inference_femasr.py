@@ -75,8 +75,6 @@ def main():
                              '(~96%% of the largest serving segment; may '
                              'flip near-tie codebook indices — same class '
                              'as bf16 serving divergence)')
-    parser.add_argument('--attn_pack', type=int, default=1,
-                        help='window-packing factor for the swin attention')
     parser.add_argument('--fuse_chunks', action=argparse.BooleanOptionalAction,
                         default=None,
                         help='tiled mode: run ALL tile chunks inside one '
@@ -108,8 +106,7 @@ def main():
                          int8_tail=args.int8_tail,
                          int8_levels=args.int8_levels,
                          int8_enc_up=args.int8_enc_up,
-                         int8_swin=args.int8_swin,
-                         attn_pack=args.attn_pack)
+                         int8_swin=args.int8_swin)
 
     os.makedirs(args.output, exist_ok=True)
     if os.path.isfile(args.input):

@@ -19,7 +19,7 @@ fusion decisions, indicative only) or on the TPU backend (compile-only —
 no execution, safe for a flapping relay as long as the program is in the
 persistent compile cache).
 
-Usage: python scripts/hlo_bytes.py 512 [--fused|--s2d|--pack 2] [--top 40]
+Usage: python scripts/hlo_bytes.py 512 [--fused|--s2d] [--top 40]
 """
 import argparse
 import os
@@ -231,7 +231,6 @@ def main():
     ap.add_argument('--s2d', action='store_true')
     ap.add_argument('--int8-mlp', action='store_true',
                     help='per-token int8 chain for the swin MLPs')
-    ap.add_argument('--pack', type=int, default=1)
     ap.add_argument('--top', type=int, default=40)
     ap.add_argument('--scope-depth', type=int, default=3)
     ap.add_argument('--dump', help='also write the HLO text here')
@@ -263,8 +262,7 @@ def main():
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       fused_upsample=args.fused, s2d_tail=args.s2d,
-                      int8_mlp=args.int8_mlp,
-                      attn_pack=args.pack, dtype=jnp.bfloat16)
+                      int8_mlp=args.int8_mlp, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, args.tile, args.tile, 3), jnp.bfloat16))['params']

@@ -38,9 +38,6 @@ def main():
                     help='per-token int8 CHAIN for the swin MLPs only '
                          '(round-4 formulation; int8 crosses HBM between '
                          'fc1/fc2, zero standalone scale passes)')
-    ap.add_argument('--pack', type=int, default=1)
-    ap.add_argument('--no-pack-shifted', action='store_true',
-                    help='leave SW-MSA (masked) blocks unpacked')
     ap.add_argument('--iters', type=int, default=8)
     ap.add_argument('--compile-only', action='store_true')
     args = ap.parse_args()
@@ -61,8 +58,6 @@ def main():
                       int8_enc_up=args.int8_enc_up,
                       int8_swin=args.int8_swin,
                       int8_mlp=args.int8_mlp,
-                      attn_pack=args.pack,
-                      attn_pack_shifted=not args.no_pack_shifted,
                       dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),

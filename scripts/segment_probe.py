@@ -28,10 +28,6 @@ def main():
     ap.add_argument('tile', type=int, default=512, nargs='?')
     ap.add_argument('--iters', type=int, default=6)
     ap.add_argument('--fused', action='store_true')
-    ap.add_argument('--pack', type=int, default=1,
-                    help='window packing factor for the swin attention')
-    ap.add_argument('--no-pack-shifted', action='store_true',
-                    help='leave SW-MSA (masked) blocks unpacked')
     ap.add_argument('--swin-only', action='store_true')
     args = ap.parse_args()
 
@@ -56,7 +52,7 @@ def main():
 
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
-                      fused_upsample=args.fused, attn_pack=args.pack,
+                      fused_upsample=args.fused,
                       dtype=jnp.bfloat16)
     params = jax.jit(model.init)(key, jnp.zeros((1, t, t, 3),
                                                 jnp.bfloat16))['params']
@@ -73,9 +69,7 @@ def main():
         print(f'encoder(full): {dt * 1e3:.1f} ms', flush=True)
 
     # 2. swin alone at the deepest encoder resolution (t/2, 256ch)
-    sw = SwinLayers(attn_pack=args.pack,
-                    attn_pack_shifted=not args.no_pack_shifted,
-                    dtype=jnp.bfloat16)
+    sw = SwinLayers(dtype=jnp.bfloat16)
     sshape = (1, t // 2, t // 2, 256)
     sparams = jax.jit(sw.init)(key, jnp.zeros(sshape, jnp.bfloat16))['params']
 
@@ -84,7 +78,7 @@ def main():
         return jnp.sum(sw.apply({'params': sparams}, x).astype(jnp.float32))
 
     dt = bench(swin, inputs(sshape, args.iters))
-    print(f'swin(4xRSTB @{t // 2}px 256ch, pack={args.pack}): '
+    print(f'swin(4xRSTB @{t // 2}px 256ch): '
           f'{dt * 1e3:.1f} ms', flush=True)
     if args.swin_only:
         return

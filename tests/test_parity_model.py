@@ -263,33 +263,6 @@ def test_int8_swin_model_quality():
     assert psnr > 28.0, f'int8_swin too lossy: {psnr:.1f} dB'
 
 
-def test_attn_pack_model_equivalence():
-    """FeMaSRNet(attn_pack=4) == default on the same params (the packing
-    plumbs MultiScaleEncoder -> SwinLayers -> WindowAttention)."""
-    net = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
-                    scale_factor=4, norm_type='gn', act_type='silu')
-    xi = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3))
-    variables = net.init(jax.random.PRNGKey(3), xi)
-    ref, _, _, idx_ref = net.apply(variables, xi)
-    net_p = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
-                      scale_factor=4, norm_type='gn', act_type='silu',
-                      attn_pack=4)
-    out, _, _, idx = net_p.apply(variables, xi)
-    np.testing.assert_array_equal(np.asarray(idx[0]), np.asarray(idx_ref[0]))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=2e-5)
-
-    # pack_shifted=False (SW-MSA blocks left unpacked) is also exact
-    net_ns = FeMaSRNet(codebook_params=[[32, 64, 64]], LQ_stage=True,
-                       scale_factor=4, norm_type='gn', act_type='silu',
-                       attn_pack=4, attn_pack_shifted=False)
-    out_ns, _, _, idx_ns = net_ns.apply(variables, xi)
-    np.testing.assert_array_equal(np.asarray(idx_ns[0]),
-                                  np.asarray(idx_ref[0]))
-    np.testing.assert_allclose(np.asarray(out_ns), np.asarray(ref),
-                               atol=2e-5, rtol=2e-5)
-
-
 def test_discriminator_init_magnitude_sane():
     """Spectral norm must actually constrain the fresh discriminator.
 

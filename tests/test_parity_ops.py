@@ -210,45 +210,6 @@ def test_rstb_parity():
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
 
 
-@pytest.mark.parametrize('shape,ws,pack', [
-    ((2, 16, 16, 16), 4, 4),   # nW=16, pack divides
-    ((1, 8, 12, 16), 4, 4),    # nW=6, gcd -> effective pack 2
-    ((1, 4, 4, 16), 4, 8),     # single window: gcd -> 1 (degenerate)
-])
-def test_window_pack_attention_exact(shape, ws, pack):
-    """attn_pack stacks windows into bigger MXU matmuls; the block-diagonal
-    -1e9 mask keeps cross-window probabilities at exactly 0, so outputs
-    must match the unpacked formulation (incl. the shifted-mask block)."""
-    from femasr_tpu.ops import BasicLayer
-    rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
-
-    kw = dict(dim=shape[-1], input_resolution=shape[1:3], depth=2,
-              num_heads=4, window_size=ws)  # depth 2 -> block 1 is shifted
-    base = BasicLayer(**kw)
-    packed = BasicLayer(**kw, attn_pack=pack)
-    params = base.init(jax.random.PRNGKey(0), x)['params']
-
-    ref = base.apply({'params': params}, x)
-    out = packed.apply({'params': params}, x)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-6, rtol=1e-6)
-
-    # gradients (incl. the relative-position-bias table through the
-    # block-diagonal placement) must match too
-    def loss(fn):
-        def inner(p):
-            return jnp.sum(jnp.tanh(fn.apply({'params': p}, x)))
-        return inner
-    g_ref = jax.grad(loss(base))(params)
-    g_out = jax.grad(loss(packed))(params)
-    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_out)):
-        # f32 reduction-order noise only (the bias grad sums p diagonal
-        # blocks through the packed-placement einsum)
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-5, atol=1e-5)
-
-
 def test_fused_upsample_conv_exact():
     """fused_upsample2x_conv3 == nearest-up + 3x3 SAME conv, exactly."""
     import jax.lax
@@ -274,39 +235,6 @@ def test_fused_upsample_conv_exact():
     assert out_tc.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out_tc), np.asarray(ref),
                                atol=2e-5)
-
-
-@pytest.mark.parametrize('shift', [0, 4])
-def test_window_attention_nhwc_exact(shift):
-    """attn_backend='nhwc' (transpose-free dot_general window grouping)
-    matches the explicit window_partition path exactly, with the same
-    param tree (checkpoint-compatible)."""
-    import os
-    from femasr_tpu.ops.swin import SwinTransformerBlock
-    rng = np.random.default_rng(5)
-    blk = SwinTransformerBlock(dim=32, input_resolution=(16, 16),
-                               num_heads=4, window_size=8,
-                               shift_size=shift, dtype=jnp.float32)
-    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
-    params = blk.init(jax.random.PRNGKey(0), x)
-    ref = blk.apply(params, x)
-    os.environ['FEMASR_ATTN'] = 'nhwc'
-    try:
-        p2 = blk.init(jax.random.PRNGKey(0), x)
-        assert (jax.tree_util.tree_structure(params)
-                == jax.tree_util.tree_structure(p2))
-        out = blk.apply(params, x)
-        # gradient path through einsums/softmax must agree too
-        g_ref = jax.grad(lambda p: jnp.sum(jnp.square(
-            blk.apply(p, x))))(params)
-    finally:
-        os.environ.pop('FEMASR_ATTN', None)
-    g_base = jax.grad(lambda p: jnp.sum(jnp.square(blk.apply(p, x))))(params)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
-                    jax.tree_util.tree_leaves(g_base)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5, rtol=1e-5)
 
 
 @pytest.mark.parametrize('shape,ws,depth', [

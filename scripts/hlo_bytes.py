@@ -220,6 +220,48 @@ def analyze(hlo, top_n=40, scope_depth=3, scope_filter=None,
     print(f'\n== by scope (depth {scope_depth}) ==')
     for k, v in sorted(by_scope.items(), key=lambda kv: -kv[1]):
         print(f'  {v / 1e9:8.2f} GB  {k}')
+
+    # -- padding tax of MATERIALIZED buffers ------------------------------
+    # cost_analysis counts LOGICAL bytes, but the chip moves PHYSICAL
+    # (tile-padded) bytes for every buffer that actually reaches HBM.
+    # ENTRY-level instruction outputs ARE the materialized set (fusion
+    # bodies never hit HBM), so phys-minus-logical of each output, summed,
+    # is the traffic invisible to the roofline model. Prime suspect for
+    # the 157-vs-118.8 ms gap: the decoder tail runs C=64 (half a
+    # (8,128) lane tile -> 2x padding) and out_conv C=3.
+    pad_rows = []
+    for line in body.splitlines():
+        mi = INSTR_RE.match(line)
+        if not mi:
+            continue
+        name, shape_s, opcode, rest = mi.groups()
+        if opcode in FREE_OPS:
+            continue
+        lg = parse_shape_bytes(shape_s, logical=True)
+        ph = parse_shape_bytes(shape_s, logical=False)
+        if ph > lg:
+            op, op_name = defs.get(name, (opcode, '(no-metadata)'))
+            pad_rows.append((ph - lg, lg, ph, opcode, shape_s.strip(),
+                             op_name))
+    pad_rows.sort(reverse=True)
+    waste = sum(r[0] for r in pad_rows)
+    lg_all = sum(out_bytes[n] for n, (op, _s) in defs.items()
+                 if op not in FREE_OPS)
+    print(f'\n== padding tax (materialized outputs only) ==')
+    print(f'  logical out {lg_all / 1e9:.2f} GB; physical-minus-logical '
+          f'WASTE {waste / 1e9:.2f} GB -> {waste / 819e9 * 1e3:.1f} ms '
+          f'@819GB/s (writes; reads of these buffers pay it again)')
+    for w, lg, ph, opcode, shape_s, op_name in pad_rows[:15]:
+        sh = shape_s if len(shape_s) < 46 else shape_s[:43] + '...'
+        scope = op_name if len(op_name) < 70 else '...' + op_name[-67:]
+        print(f'  {w / 1e9:7.2f} GB waste ({ph / lg:4.1f}x) {opcode:12s} '
+              f'{sh:46s} {scope}')
+    pad_scope = defaultdict(float)
+    for w, lg, ph, opcode, shape_s, op_name in pad_rows:
+        pad_scope[scope_of(op_name, scope_depth)] += w
+    print('  -- waste by scope --')
+    for k, v in sorted(pad_scope.items(), key=lambda kv: -kv[1])[:12]:
+        print(f'  {v / 1e9:8.2f} GB  {k}')
     return total
 
 

@@ -548,6 +548,16 @@ AGENDA = [
     ('hlo_bytes_slicefull', [PY, 'scripts/hlo_bytes.py', '512', '1',
                              '--opcode', 'slice', '--top', '40'],
      700, None, False),
+    # padding-tax hypothesis for the 38 ms roofline gap: the decoder tail
+    # runs C=64 = half a (8,128) lane tile (physical 2x logical traffic
+    # that cost_analysis never counts; round-3 measured padded-physical
+    # 183.2 GB vs logical 97.3 on this very program). s2d_tail converts
+    # the tail to (1024px, 256ch) — full lanes, exact math, archived on
+    # LOGICAL byte neutrality but never wall-clocked. The copyfull phase
+    # above prints the pad report (which scopes pay the tax); this phase
+    # is the wall-clock A/B.
+    ('r5_s2d_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
+     880, None, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

@@ -89,3 +89,30 @@ def test_logical_bytes_ignore_tiling():
                                           logical=True)
     assert padded == 1 * 104 * 256 * 4
     assert logical == 1 * 100 * 130 * 4
+
+
+def test_pad_report_ranks_materialized_lane_waste(capsys):
+    # a C=64 bf16 buffer is half a (8,128) lane tile: physical 2x logical.
+    # The pad report must count ONLY materialized (ENTRY-level) outputs —
+    # the decoder-tail padding-tax hypothesis rides on this arithmetic.
+    hlo = '''
+HloModule m
+
+ENTRY %main {
+  %p0 = bf16[1,64,64,64]{3,2,1,0:T(8,128)(2,1)} parameter(0)
+  %t = bf16[1,64,64,64]{3,2,1,0:T(8,128)(2,1)} tanh(%p0), metadata={op_name="jit(f)/tail/tanh"}
+  ROOT %r = bf16[1,64,64,128]{3,2,1,0:T(8,128)(2,1)} convolution(%t, %t), metadata={op_name="jit(f)/tail/conv"}
+}
+'''
+    hlo_bytes.analyze(hlo, top_n=5)
+    out = capsys.readouterr().out
+    assert 'padding tax' in out
+    # tanh out: logical 1*64*64*64*2 = 524288; physical pads C 64->128
+    assert 'WASTE 0.00 GB' in out or 'WASTE' in out
+    import re as _re
+    m = _re.search(r'physical-minus-logical\s+WASTE (\d+\.\d+) GB', out)
+    assert m
+    # tanh wastes 0.5 MB, conv output is aligned (C=128) -> total 0.0005 GB
+    line = [ln for ln in out.splitlines() if 'x) tanh' in ln]
+    assert line, out
+    assert '2.0x' in line[0]

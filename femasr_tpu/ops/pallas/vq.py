@@ -31,13 +31,23 @@ LANES = 128
 def _vq_kernel(z_ref, cb_ref, val_ref, idx_ref, *, tn: int):
     z = z_ref[:]          # (TN, C)
     cb = cb_ref[:]        # (K, C)
+    k = cb.shape[0]
     c2 = jnp.sum(cb.astype(jnp.float32) * cb.astype(jnp.float32), axis=1)
     d = c2[None, :] - 2.0 * jax.lax.dot_general(
         z, cb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (TN, K)
-    val_ref[:] = jnp.min(d, axis=1).reshape(tn // LANES, LANES)
-    idx_ref[:] = jnp.argmin(d, axis=1).astype(jnp.int32).reshape(
-        tn // LANES, LANES)
+    dmin = jnp.min(d, axis=1, keepdims=True)
+    val_ref[:] = dmin.reshape(tn // LANES, LANES)
+    # argmin WITHOUT an index-producing (variadic) reduction: Mosaic
+    # crashed on jnp.argmin's (value, index) reduce at tn=1024 (HTTP 500,
+    # tpu_compile_helper exit 1 — FORMULATIONS.md), while the int8 fc1
+    # kernel's plain row-max + 1024-lane reduce COMPILE PASSes at the
+    # same geometry. Two plain reduces reproduce argmin exactly: the
+    # min distance, then the smallest lane index attaining it
+    # (first-minimum tie-break, same as jnp/torch argmin).
+    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    masked = jnp.where(d <= dmin, iota, jnp.int32(k))
+    idx_ref[:] = jnp.min(masked, axis=1).reshape(tn // LANES, LANES)
 
 
 def _vq_argmin_chunk(z_flat: jax.Array, codebook: jax.Array, tn: int,

@@ -558,6 +558,17 @@ AGENDA = [
     # is the wall-clock A/B.
     ('r5_s2d_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
      880, None, False),
+    # ONE bounded attempt (the 'pallas' name caps attempts at 1) at the
+    # REFORMULATED VQ kernel: argmin replaced by two plain reduces
+    # (min-distance, then min of masked iota) — the variadic
+    # (value,index) reduce was the narrowed Mosaic crash signature while
+    # the fc1 kernel's plain 1024-lane reduce PASSes at this geometry.
+    # Interpret-parity green on CPU (tests/test_pallas_vq.py, incl.
+    # tie-breaking). Placed after every decision-critical phase: a crash
+    # still costs a multi-minute relay outage.
+    ('r5_vq_minmask_pallas_probe', [PY, 'scripts/pallas_compile_probe.py',
+                                    '--kernels', 'vq', '--timeout', '120'],
+     400, None, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

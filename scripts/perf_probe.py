@@ -83,9 +83,15 @@ def main():
     if args.compile_only:
         return
 
-    xs = [jax.random.uniform(jax.random.PRNGKey(100 + i), shape, jnp.bfloat16)
-          for i in range(args.iters)]
-    print(f'warmup: {float(forward(params, xs[0])):.2f}', flush=True)
+    # wall-clock salt: the relay serves IDENTICAL dispatches from a value
+    # cache (CLAUDE.md), so fixed keys would let a re-run (and the warmup
+    # vs timed xs[0] pair) time cache hits instead of execution
+    salt = int(time.time() * 1e3) % 100003
+    xs = [jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(salt), i),
+                             shape, jnp.bfloat16)
+          for i in range(args.iters + 1)]
+    print(f'warmup: {float(forward(params, xs[-1])):.2f}', flush=True)
+    xs = xs[:-1]
     t0 = time.perf_counter()
     results = [forward(params, x) for x in xs]
     _ = [float(r) for r in results]

@@ -285,9 +285,17 @@ class MultiScaleEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> List[jax.Array]:
+    def __call__(self, x, train: bool = False,
+                 stop: Optional[str] = None) -> List[jax.Array]:
+        """stop: probe-only early exit ('inconv' | 'down' | 'swin1'..'swin4'
+        | 'up0') — returns the outputs produced so far plus the current
+        tensor, so scripts/serve_prefix_probe.py can wall-clock-attribute
+        the encoder internally. Unused trailing params are ignored by
+        flax apply; never set in the serving/training paths."""
         x = conv2d(CHANNEL_QUERY_DICT[self.input_res], 4, 1, 1,
                    dtype=self.dtype, name='in_conv')(x)
+        if stop == 'inconv':
+            return [x]
 
         outputs: List[jax.Array] = []
         res = self.input_res
@@ -299,18 +307,26 @@ class MultiScaleEncoder(nn.Module):
             outputs.append(x)
             res //= 2
             idx += 1
+        if stop == 'down':
+            return outputs
 
         if self.lq_stage:
+            swin_groups = 4
+            if stop is not None and stop.startswith('swin'):
+                swin_groups = int(stop[4:])
             x = SwinLayers(mlp_ratio=self.swin_mlp_ratio,
                            use_checkpoint=self.use_checkpoint,
                            attn_layout=self.attn_layout,
                            int8_linears=self.int8_swin,
                            int8_mlp=self.int8_mlp,
+                           num_groups=swin_groups,
                            dtype=self.dtype,
                            name=f'blocks_{idx}')(x)
             outputs.append(x)
             idx += 1
-            for _ in range(2):
+            if stop is not None and stop.startswith('swin'):
+                return outputs
+            for up_i in range(2):
                 out_ch = CHANNEL_QUERY_DICT[res * 2]
                 x = EncoderUpBlock(out_ch, self.norm_type, self.act_type,
                                    self.fused_upsample, self.int8_enc_up,
@@ -319,6 +335,8 @@ class MultiScaleEncoder(nn.Module):
                 outputs.append(x)
                 res *= 2
                 idx += 1
+                if stop == f'up{up_i}':
+                    return outputs
 
         return outputs
 

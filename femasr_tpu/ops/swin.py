@@ -615,11 +615,14 @@ class SwinLayers(nn.Module):
     # (PARITY.md); gate via tests/test_inference.py int8 quality test.
     int8_linears: bool = False
     int8_mlp: bool = False
+    # probe-only: run just the first num_groups RSTB groups (param names
+    # unchanged — serve_prefix_probe.py intra-encoder attribution)
+    num_groups: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        for i in range(4):
+        for i in range(self.num_groups):
             x = RSTB(dim=self.embed_dim,
                      input_resolution=tuple(self.input_resolution),
                      depth=self.blk_depth, num_heads=self.num_heads,

@@ -37,6 +37,11 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 STAGES = ('enc', 'vq', 'aq', 'dec0', 'dec1', 'dec2', 'full')
+# intra-encoder prefixes (round-5: enc = 63.5 GB / 91.4 ms of the 512px
+# program at 85% of its roofline — attribute the remaining 13.8 ms):
+# in_conv / +down block / +k swin RSTB groups / +first up block; plain
+# 'enc' is the full encoder (== up1)
+ENC_STAGES = ('inconv', 'down', 'swin1', 'swin2', 'swin3', 'swin4', 'up0')
 
 
 def main():
@@ -76,6 +81,12 @@ def main():
         being segment costs (observed r5_prefix_enc: the vq prefix
         measured FEWER bytes and less wall than the enc prefix because
         enc[1], enc[2] were DCE'd)."""
+        if stage in ENC_STAGES:
+            def enc_fn(m, x):
+                outs = m.multiscale_encoder(x, False, stop=stage)
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            return enc_fn
+
         def fn(m, x):
             enc = m.multiscale_encoder(x, False)[-3:]
             live = sum(jnp.sum(o.astype(jnp.float32)) for o in enc)
@@ -116,7 +127,7 @@ def main():
 
     results = []
     for stage in args.stages.split(','):
-        if stage not in STAGES:
+        if stage not in STAGES and stage not in ENC_STAGES:
             print(f'# unknown stage {stage!r}; skipping', flush=True)
             continue
         f = chained(stage)

@@ -309,6 +309,13 @@ def _child(tile):
         # Backend: FEMASR_INT8_BACKEND=pallas for the fused kernel, unset
         # for the pure-XLA chain (no custom-call fusion barriers).
         BENCH_FLAGS = dict(int8_mlp=True)
+    if os.environ.get('FEMASR_BENCH_S2D') == '1':
+        # exact-math A/B lane: evaluate the C=64 decoder tail + out_conv
+        # in the 2x2 space-to-depth domain (full (8,128) lane tiles —
+        # logical-byte-neutral but ~half the PHYSICAL tail traffic; the
+        # r5p2 prefix table attributes +36 ms wall to that level against
+        # a +24.8 ms roofline). Flip the model default if r5_s2d_wall wins.
+        BENCH_FLAGS = dict(BENCH_FLAGS, s2d_tail=True)
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       dtype=jnp.bfloat16, **BENCH_FLAGS)
@@ -331,7 +338,7 @@ def _child(tile):
             'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
             'value': round(best_mps, 3),
             'unit': (f'MP/s (input pixels), '
-                     f'{"w8a8-int8+bf16 (quality-gated)" if BENCH_FLAGS else "bf16"}, '
+                     f'{"w8a8-int8+bf16 (quality-gated)" if any(k.startswith("int8") for k in BENCH_FLAGS) else "bf16"}, '
                      f'{best_desc}, vs '
                      'bottom-up 1.5 MP/s H100-PyTorch-eager baseline '
                      '(estimate, +-35% — derivation in BASELINE.md)'

@@ -569,6 +569,14 @@ AGENDA = [
     ('r5_vq_minmask_pallas_probe', [PY, 'scripts/pallas_compile_probe.py',
                                     '--kernels', 'vq', '--timeout', '120'],
      400, None, False),
+    # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
+    # unattributed above its 77.6 ms roofline): in_conv+down / swin group
+    # prefixes / first up block. Each compiles a fresh big program —
+    # split 2 per phase for degraded windows.
+    ('r5p3_enc_a', [PY, 'scripts/serve_prefix_probe.py', '512',
+                    '--stages', 'down,swin2'], 880, None, False),
+    ('r5p3_enc_b', [PY, 'scripts/serve_prefix_probe.py', '512',
+                    '--stages', 'swin4,up0'], 880, None, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

@@ -548,16 +548,11 @@ AGENDA = [
     ('hlo_bytes_slicefull', [PY, 'scripts/hlo_bytes.py', '512', '1',
                              '--opcode', 'slice', '--top', '40'],
      700, None, False),
-    # padding-tax hypothesis for the 38 ms roofline gap: the decoder tail
-    # runs C=64 = half a (8,128) lane tile (physical 2x logical traffic
-    # that cost_analysis never counts; round-3 measured padded-physical
-    # 183.2 GB vs logical 97.3 on this very program). s2d_tail converts
-    # the tail to (1024px, 256ch) — full lanes, exact math, archived on
-    # LOGICAL byte neutrality but never wall-clocked. The copyfull phase
-    # above prints the pad report (which scopes pay the tax); this phase
-    # is the wall-clock A/B.
-    ('r5_s2d_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--s2d'],
-     880, None, False),
+    # r5_s2d_wall REMOVED 2026-08-20 09:40: the compile-only padding-tax
+    # A/B already decides it — s2d fixes dec2's lane pad (14.56→7.66 GB
+    # waste) but the pad+phase-slice idiom regresses LOGICAL bytes
+    # 97.29→130.0 GB (align=1) / 129.1 (align=8): physical ~155 GB vs
+    # the baseline's 128.7. Loser before wall-clocking (FORMULATIONS.md).
     # ONE bounded attempt (the 'pallas' name caps attempts at 1) at the
     # REFORMULATED VQ kernel: argmin replaced by two plain reduces
     # (min-distance, then min of masked iota) — the variadic
@@ -566,17 +561,18 @@ AGENDA = [
     # Interpret-parity green on CPU (tests/test_pallas_vq.py, incl.
     # tie-breaking). Placed after every decision-critical phase: a crash
     # still costs a multi-minute relay outage.
-    ('r5_vq_minmask_pallas_probe', [PY, 'scripts/pallas_compile_probe.py',
-                                    '--kernels', 'vq', '--timeout', '120'],
-     400, None, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group
     # prefixes / first up block. Each compiles a fresh big program —
-    # split 2 per phase for degraded windows.
+    # split 2 per phase for degraded windows. BEFORE the VQ probe (a
+    # Mosaic crash costs a multi-minute outage — run it dead last).
     ('r5p3_enc_a', [PY, 'scripts/serve_prefix_probe.py', '512',
                     '--stages', 'down,swin2'], 880, None, False),
     ('r5p3_enc_b', [PY, 'scripts/serve_prefix_probe.py', '512',
                     '--stages', 'swin4,up0'], 880, None, False),
+    ('r5_vq_minmask_pallas_probe', [PY, 'scripts/pallas_compile_probe.py',
+                                    '--kernels', 'vq', '--timeout', '120'],
+     400, None, False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

@@ -309,6 +309,12 @@ def _child(tile):
         # Backend: FEMASR_INT8_BACKEND=pallas for the fused kernel, unset
         # for the pure-XLA chain (no custom-call fusion barriers).
         BENCH_FLAGS = dict(int8_mlp=True)
+    if os.environ.get('FEMASR_BENCH_WS2D') == '1':
+        # exact-math A/B lane: Pallas ws2d decoder tail — the C=64 HR
+        # tensors live as (H, W/2, 128) full-lane tiles and the convs run
+        # in ops/pallas/ws2d_conv.py (round-5; targets the 14.56 GB
+        # physical padding waste of decoder_group_2)
+        BENCH_FLAGS = dict(BENCH_FLAGS, ws2d_tail=True)
     if os.environ.get('FEMASR_BENCH_S2D') == '1':
         # exact-math A/B lane: evaluate the C=64 decoder tail + out_conv
         # in the 2x2 space-to-depth domain (full (8,128) lane tiles —

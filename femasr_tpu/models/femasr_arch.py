@@ -25,9 +25,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.layers import (ActLayer, CombineQuantBlock, Conv3Int8,
-                          GroupNormS2D, NormLayer, ResBlock, UpConv3,
-                          conv2d, conv3_s2d, pixel_shuffle_phase_major,
-                          upconv3_s2d)
+                          GroupNormS2D, GroupNormWs2D, NormLayer, ResBlock,
+                          UpConv3, conv2d, conv3_s2d, from_ws2d,
+                          pixel_shuffle_phase_major, to_ws2d, upconv3_s2d)
+from ..ops.pallas.ws2d_conv import conv3_ws2d
 from ..ops.quantize import VectorQuantizer
 from ..ops.swin import SwinLayers
 from ..utils.registry import ARCH_REGISTRY
@@ -263,6 +264,87 @@ class DecoderBlockS2D(nn.Module):
         return x
 
 
+class NormLayerWs2D(nn.Module):
+    """NormLayer in the ws2d domain (gn only — the release config)."""
+    channels: int
+    norm_type: str = 'gn'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.norm_type.lower() == 'gn', (
+            'ws2d decoder tail supports norm_type=gn only')
+        return GroupNormWs2D(num_groups=32, eps=1e-6, dtype=self.dtype,
+                             name='norm')(x)
+
+
+class Conv3Ws2D(nn.Module):
+    """3x3 SAME HR conv on the ws2d tensor via the Pallas kernel;
+    params match conv2d(features, 3) — checkpoint-interchangeable."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1] // 2
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return conv3_ws2d(x.astype(self.dtype), kernel, bias)
+
+
+class ResBlockWs2D(nn.Module):
+    """ResBlock evaluated on the ws2d tensor (norm/act in XLA — they tile
+    cleanly on the 128-lane form — convs in the Pallas ws2d kernel).
+    Parameter tree identical to ResBlock; checkpoint-interchangeable."""
+    channel: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channel
+        assert self.act_type.lower() in (
+            'relu', 'leakyrelu', 'silu', 'gelu', 'none'), (
+            f'ws2d decoder tail requires a phase-shape-agnostic activation, '
+            f'got act_type={self.act_type!r} (prelu is unsupported)')
+        res = NormLayerWs2D(c, self.norm_type, self.dtype,
+                            name='norm1')(x, train)
+        res = ActLayer(c, self.act_type, self.dtype, name='act1')(res)
+        res = Conv3Ws2D(c, dtype=self.dtype, name='conv1')(res)
+        res = NormLayerWs2D(c, self.norm_type, self.dtype,
+                            name='norm2')(res, train)
+        res = ActLayer(c, self.act_type, self.dtype, name='act2')(res)
+        res = Conv3Ws2D(c, dtype=self.dtype, name='conv2')(res)
+        return res + x
+
+
+class DecoderBlockWs2D(nn.Module):
+    """DecoderBlock whose ResBlocks run in the ws2d domain.
+
+    The upsample+conv stays in XLA (normal domain); its output is viewed
+    as ws2d (a pure reshape) and the two ResBlocks + out_conv stay there —
+    the C=64 HR tensors never materialize in the tile-padded NHWC form.
+    Param tree identical to DecoderBlock — checkpoint-interchangeable.
+    """
+    out_ch: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = UpConv3(self.out_ch, dtype=self.dtype, name='conv')(x)
+        x = to_ws2d(x)
+        x = ResBlockWs2D(self.out_ch, self.norm_type, self.act_type,
+                         self.dtype, name='res1')(x, train)
+        x = ResBlockWs2D(self.out_ch, self.norm_type, self.act_type,
+                         self.dtype, name='res2')(x, train)
+        return x
+
+
 class MultiScaleEncoder(nn.Module):
     """in_conv + stride-2 down blocks (+ SwinLayers + 2 up blocks in LQ stage).
 
@@ -367,6 +449,12 @@ class FeMaSRNet(nn.Module):
     # evaluate the last decoder level + out_conv in the 2x2 space-to-depth
     # domain (exact math, ~1.5x faster C=64 convs on the MXU); requires gn
     s2d_tail: bool = False
+    # serving-only: last decoder level's ResBlocks + out_conv in the
+    # width-s2d domain with Pallas convs (ops/pallas/ws2d_conv.py) —
+    # kills the C=64 NHWC tile-padding waste (14.56 GB physical on the
+    # 512px program, bench_evidence/copy_attrib_512_full_r5.txt);
+    # requires gn; exact math (bf16 rounding order differs)
+    ws2d_tail: bool = False
     # serving-only: last decoder level + out_conv in w8a8 int8 (v5e int8
     # MXU = 2x bf16 peak); dynamic per-tensor activation scales, per-
     # channel weight scales, checkpoint-free (ops/layers.py conv3_w8a8)
@@ -431,8 +519,8 @@ class FeMaSRNet(nn.Module):
             attn_layout=self.attn_layout,
             dtype=self.dtype)
 
-        assert not (self.s2d_tail and self.int8_tail), (
-            's2d_tail and int8_tail are mutually exclusive')
+        assert sum((self.s2d_tail, self.int8_tail, self.ws2d_tail)) <= 1, (
+            's2d_tail / ws2d_tail / int8_tail are mutually exclusive')
         decoders = []
         out_ch = None
         for i in range(self.max_depth):
@@ -440,6 +528,10 @@ class FeMaSRNet(nn.Module):
             out_ch = CHANNEL_QUERY_DICT[res * 2]
             if self.s2d_tail and i == self.max_depth - 1:
                 decoders.append(DecoderBlockS2D(
+                    out_ch, self.norm_type, self.act_type, self.dtype,
+                    name=f'decoder_group_{i}'))
+            elif self.ws2d_tail and i == self.max_depth - 1:
+                decoders.append(DecoderBlockWs2D(
                     out_ch, self.norm_type, self.act_type, self.dtype,
                     name=f'decoder_group_{i}'))
             elif self.int8_tail and i >= self.max_depth - self.int8_levels:
@@ -454,6 +546,8 @@ class FeMaSRNet(nn.Module):
         self.decoder_group = decoders
         if self.s2d_tail:
             self.out_conv = Conv3S2D(3, dtype=self.dtype, name='out_conv')
+        elif self.ws2d_tail:
+            self.out_conv = Conv3Ws2D(3, dtype=self.dtype, name='out_conv')
         elif self.int8_tail:
             self.out_conv = Conv3Int8(3, dtype=self.dtype, name='out_conv')
         else:
@@ -557,6 +651,8 @@ class FeMaSRNet(nn.Module):
         out_img = self.out_conv(out)
         if self.s2d_tail:
             out_img = pixel_shuffle_phase_major(out_img)
+        elif self.ws2d_tail:
+            out_img = from_ws2d(out_img)
 
         codebook_loss = sum(codebook_loss_list)
         semantic_loss = (sum(semantic_loss_list) if semantic_loss_list
@@ -572,6 +668,8 @@ class FeMaSRNet(nn.Module):
         x = self.out_conv(x)
         if self.s2d_tail:
             x = pixel_shuffle_phase_major(x)
+        elif self.ws2d_tail:
+            x = from_ws2d(x)
         return x
 
     def __call__(self, x: jax.Array,

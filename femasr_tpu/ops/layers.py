@@ -689,6 +689,62 @@ class GroupNormS2D(nn.Module):
             bias, 4).astype(self.dtype)
 
 
+def to_ws2d(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W/2, 2C) width-space-to-depth view.
+
+    Pure reshape (memory-order preserving): element (m, qx*C + c) is HR
+    pixel (2m + qx, c). For C=64 the result's last dim is exactly one
+    128-lane tile — the ws2d decoder tail's whole point (see
+    ops/pallas/ws2d_conv.py for the physical-byte rationale)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def from_ws2d(x: jax.Array) -> jax.Array:
+    """(B, H, Wh, 2C) ws2d form -> (B, H, 2*Wh, C)."""
+    b, h, wh, c2 = x.shape
+    return x.reshape(b, h, 2 * wh, c2 // 2)
+
+
+class GroupNormWs2D(nn.Module):
+    """GroupNorm over HR channels, evaluated on the ws2d tensor.
+
+    Parameter names/shapes identical to GroupNorm ((C,) over HR channels)
+    so checkpoints interchange. The 2 width phases are spatial positions
+    of the same HR channel, so they join the (H, Wh) statistic axes.
+    Same chanraw two-level reduction as GroupNormS2D (per-ws2d-channel
+    raw moments keep the channel axis in lanes; the tiny (B, 2C) fold
+    into HR groups is exact because every channel sees equal counts).
+    """
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c2 = x.shape[-1]
+        c = c2 // 2
+        g = self.num_groups
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+
+        b = x.shape[0]
+        xf = x.astype(jnp.float32)
+        m1 = xf.mean(axis=tuple(range(1, x.ndim - 1)))            # (B, 2C)
+        m2 = jnp.square(xf).mean(axis=tuple(range(1, x.ndim - 1)))
+        mean = m1.reshape(b, 2, g, c // g).mean(axis=(1, 3))      # (B, G)
+        mean2 = m2.reshape(b, 2, g, c // g).mean(axis=(1, 3))
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.eps)
+        mean_c = jnp.tile(jnp.repeat(mean, c // g, axis=1), (1, 2))
+        inv_c = jnp.tile(jnp.repeat(inv, c // g, axis=1), (1, 2))
+        shape = (b,) + (1,) * (x.ndim - 2) + (c2,)
+        mul = (inv_c.reshape(shape) * jnp.tile(scale, 2)).astype(self.dtype)
+        sub = mean_c.reshape(shape).astype(self.dtype)
+        return (x.astype(self.dtype) - sub) * mul + jnp.tile(
+            bias, 2).astype(self.dtype)
+
+
 def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Nearest resize to arbitrary (H, W) matching torch F.interpolate(mode='nearest').
 

@@ -109,6 +109,30 @@ CASES = {
         'jnp.zeros((65536, 1), jnp.float32),'
         'jnp.zeros((256, 1024), jnp.float32),'
         'jnp.zeros((1024,), jnp.float32)).compile()\n'),
+    # bf16 ws2d conv at the decoder-tail shape (2048px HR as 2048x1024x128
+    # ws2d — full 128-lane tiles, ops/pallas/ws2d_conv.py round-5)
+    'ws2dconv': PRELUDE + (
+        'from femasr_tpu.ops.pallas.ws2d_conv import conv3_ws2d\n'
+        'jax.jit(lambda x, k, b: conv3_ws2d(x, k, b)).lower('
+        'jnp.zeros((1, 2048, 1024, 128), jnp.bfloat16),'
+        'jnp.zeros((3, 3, 64, 64), jnp.float32),'
+        'jnp.zeros((64,), jnp.float32)).compile()\n'),
+    # ws2d out_conv (O=3 -> lane-padded output)
+    'ws2dout': PRELUDE + (
+        'from femasr_tpu.ops.pallas.ws2d_conv import conv3_ws2d\n'
+        'jax.jit(lambda x, k, b: conv3_ws2d(x, k, b)).lower('
+        'jnp.zeros((1, 2048, 1024, 128), jnp.bfloat16),'
+        'jnp.zeros((3, 3, 64, 3), jnp.float32),'
+        'jnp.zeros((3,), jnp.float32)).compile()\n'),
+    # ws2d conv at a reduced row-strip (bisect insurance if the th
+    # VMEM-budget choice fails on the real Mosaic limit)
+    'ws2dconv_th4': PRELUDE + (
+        'import os; os.environ["FEMASR_WS2D_TH"] = "4"\n'
+        'from femasr_tpu.ops.pallas.ws2d_conv import conv3_ws2d\n'
+        'jax.jit(lambda x, k, b: conv3_ws2d(x, k, b)).lower('
+        'jnp.zeros((1, 2048, 1024, 128), jnp.bfloat16),'
+        'jnp.zeros((3, 3, 64, 64), jnp.float32),'
+        'jnp.zeros((64,), jnp.float32)).compile()\n'),
 }
 
 

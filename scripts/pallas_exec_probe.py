@@ -84,6 +84,23 @@ CASES = {
         'd = float(np.abs(ref - out).max()); mag = float(np.abs(ref).max())\n'
         'print(f"wattn exec: max|diff|={d:.6f} mag={mag:.3f} salt={salt}")\n'
         'assert d <= 0.03 * max(mag, 1.0), (d, mag)\n'),
+    # bf16 ws2d conv vs the plain NHWC conv (round-5 decoder-tail kernel)
+    'ws2dconv': PRELUDE + (
+        'from femasr_tpu.ops.layers import to_ws2d, from_ws2d\n'
+        'from femasr_tpu.ops.pallas.ws2d_conv import conv3_ws2d\n'
+        'x = jax.random.normal(kk, (1, 64, 128, 64), jnp.float32).astype(jnp.bfloat16)\n'
+        'w = jax.random.normal(jax.random.fold_in(kk, 1), (3, 3, 64, 64), jnp.float32) * 0.1\n'
+        'b = jax.random.normal(jax.random.fold_in(kk, 2), (64,), jnp.float32) * 0.1\n'
+        'def ref_conv(x, w, b):\n'
+        '    y = jax.lax.conv_general_dilated(x, w.astype(x.dtype), (1, 1),\n'
+        '        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))\n'
+        '    return y + b.astype(y.dtype)\n'
+        'ref = np.asarray(jax.jit(ref_conv)(x, w, b), np.float32)\n'
+        'f = jax.jit(lambda x, w, b: from_ws2d(conv3_ws2d(to_ws2d(x), w, b, interpret=False)))\n'
+        'out = np.asarray(f(x, w, b), np.float32)\n'
+        'd = float(np.abs(ref - out).max()); mag = float(np.abs(ref).max())\n'
+        'print(f"ws2dconv exec: max|diff|={d:.6f} mag={mag:.3f} salt={salt}")\n'
+        'assert d <= 0.03 * max(mag, 1.0), (d, mag)\n'),
     # VQ argmin at a tiny known-compiling shape (model-shape compile hangs)
     'vq_tiny': PRELUDE + (
         'from femasr_tpu.ops.pallas.vq import vq_argmin\n'

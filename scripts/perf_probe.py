@@ -24,6 +24,8 @@ def main():
     ap.add_argument('batch', type=int, nargs='?', default=1)
     ap.add_argument('--fused', action='store_true')
     ap.add_argument('--s2d', action='store_true')
+    ap.add_argument('--ws2d', action='store_true',
+                    help='Pallas ws2d decoder tail (round-5)')
     ap.add_argument('--int8', action='store_true',
                     help='w8a8 int8 decoder tail')
     ap.add_argument('--int8-levels', type=int, default=1,
@@ -54,6 +56,7 @@ def main():
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       fused_upsample=args.fused, s2d_tail=args.s2d,
+                      ws2d_tail=args.ws2d,
                       int8_tail=args.int8, int8_levels=args.int8_levels,
                       int8_enc_up=args.int8_enc_up,
                       int8_swin=args.int8_swin,
@@ -99,7 +102,7 @@ def main():
     mps = args.batch * args.tile * args.tile / 1e6 / dt
     eff = (float(cost['flops']) / dt / 1e12) if cost and 'flops' in cost else 0
     print(f'tile={args.tile} batch={args.batch} fused={args.fused} '
-          f's2d={args.s2d} int8={args.int8}: '
+          f's2d={args.s2d} ws2d={args.ws2d} int8={args.int8}: '
           f'{dt * 1e3:.1f} ms/iter -> {mps:.3f} MP/s, {eff:.1f} TFLOP/s eff',
           flush=True)
 

@@ -561,6 +561,22 @@ AGENDA = [
     # Interpret-parity green on CPU (tests/test_pallas_vq.py, incl.
     # tie-breaking). Placed after every decision-critical phase: a crash
     # still costs a multi-minute relay outage.
+    # ws2d decoder tail (round-5 kernel, ops/pallas/ws2d_conv.py): the
+    # ONLY formulation left that can touch the 14.56 GB dec2 padding
+    # waste (every XLA-level variant measured a loser). Ladder:
+    # standalone Mosaic compile check -> full-program byte/pad report
+    # (also warms the persistent cache) -> tiny on-chip exec parity ->
+    # bounded wall-clock A/B. Decision-critical: runs before r5p3.
+    ('ws2d_ktest', [PY, 'scripts/pallas_compile_probe.py', '--kernels',
+                    'ws2dconv,ws2dout,ws2dconv_th4', '--timeout', '120'],
+     500, None, False),
+    ('hlo_bytes_ws2d', [PY, 'scripts/hlo_bytes.py', '512', '1', '--ws2d',
+                        '--opcode', 'copy', '--top', '8'], 700, None,
+     False),
+    ('r5_ws2d_exec', [PY, 'scripts/pallas_exec_probe.py', '--kernels',
+                      'ws2dconv', '--timeout', '240'], 400, None, False),
+    ('r5_ws2d_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--ws2d'],
+     880, None, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group
     # prefixes / first up block. Each compiles a fresh big program —

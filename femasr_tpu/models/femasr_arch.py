@@ -27,7 +27,8 @@ from flax import linen as nn
 from ..ops.layers import (ActLayer, CombineQuantBlock, Conv3Int8,
                           GroupNormS2D, GroupNormWs2D, NormLayer, ResBlock,
                           UpConv3, conv2d, conv3_s2d, from_ws2d,
-                          pixel_shuffle_phase_major, to_ws2d, upconv3_s2d)
+                          pixel_shuffle_phase_major, to_ws2d, upconv3_s2d,
+                          upconv3_ws2d)
 from ..ops.pallas.ws2d_conv import conv3_ws2d
 from ..ops.quantize import VectorQuantizer
 from ..ops.swin import SwinLayers
@@ -321,12 +322,29 @@ class ResBlockWs2D(nn.Module):
         return res + x
 
 
-class DecoderBlockWs2D(nn.Module):
-    """DecoderBlock whose ResBlocks run in the ws2d domain.
+class UpConv3Ws2D(nn.Module):
+    """nearest-2x upsample + 3x3 conv emitting the ws2d form directly
+    (ops/layers.py upconv3_ws2d); params match UpConv3/conv2d."""
+    features: int
+    dtype: Dtype = jnp.float32
 
-    The upsample+conv stays in XLA (normal domain); its output is viewed
-    as ws2d (a pure reshape) and the two ResBlocks + out_conv stay there —
-    the C=64 HR tensors never materialize in the tile-padded NHWC form.
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return upconv3_ws2d(x.astype(self.dtype),
+                            kernel.astype(self.dtype), bias)
+
+
+class DecoderBlockWs2D(nn.Module):
+    """DecoderBlock whose whole body runs in the ws2d domain.
+
+    The fused upsample emits the ws2d form directly (no HR NHWC tensor,
+    no relayout) and the two ResBlocks + out_conv stay there — the C=64
+    HR tensors never materialize in the tile-padded NHWC form.
     Param tree identical to DecoderBlock — checkpoint-interchangeable.
     """
     out_ch: int
@@ -336,8 +354,7 @@ class DecoderBlockWs2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = UpConv3(self.out_ch, dtype=self.dtype, name='conv')(x)
-        x = to_ws2d(x)
+        x = UpConv3Ws2D(self.out_ch, dtype=self.dtype, name='conv')(x)
         x = ResBlockWs2D(self.out_ch, self.norm_type, self.act_type,
                          self.dtype, name='res1')(x, train)
         x = ResBlockWs2D(self.out_ch, self.norm_type, self.act_type,

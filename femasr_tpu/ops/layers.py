@@ -689,6 +689,41 @@ class GroupNormS2D(nn.Module):
             bias, 4).astype(self.dtype)
 
 
+def upconv3_ws2d(x: jax.Array, kernel: jax.Array,
+                 bias: Optional[jax.Array] = None) -> jax.Array:
+    """nearest-2x upsample + 3x3 SAME conv emitting the ws2d form directly.
+
+    Same math as upconv3_dilated (exact re-association of
+    femasr_arch.py:195-211's Upsample->Conv) but the W dimension's two
+    output phases are folded into channels: one lhs_dilation=(2,1) conv
+    with a derived (4, 3, I, 2O) kernel writes (B, 2H, W, 2O) — the
+    ws2d view of the (B, 2H, 2W, O) HR output — so neither the HR NHWC
+    tensor nor a to_ws2d relayout ever materializes (round-5: those two
+    copies cost 2.1 GB of the remaining dec2 traffic,
+    bench_evidence/ws2d_bytes_r5.txt).
+
+    H derivation = upconv3_dilated's A-matrix; W taps per output phase:
+    px=0 reads LR cols {w'-1: K_col0, w': K_col1+K_col2}, px=1 reads
+    {w': K_col0+K_col1, w'+1: K_col2} — a 3-tap kernel under SAME(1,1)
+    padding with the unused tap zero.
+    """
+    a4 = jnp.asarray([[1., 0., 0.], [1., 1., 0.], [0., 1., 1.],
+                      [0., 0., 1.]], kernel.dtype)           # (4, 3)
+    c0 = jnp.asarray([[1., 0., 0.], [0., 1., 1.], [0., 0., 0.]],
+                     kernel.dtype)                           # (3, 3) px=0
+    c1 = jnp.asarray([[0., 0., 0.], [1., 1., 0.], [0., 0., 1.]],
+                     kernel.dtype)                           # px=1
+    w0 = jnp.einsum('au,mv,uvio->amio', a4, c0, kernel)
+    w1 = jnp.einsum('au,mv,uvio->amio', a4, c1, kernel)
+    wws = jnp.concatenate([w0, w1], axis=-1).astype(x.dtype)  # (4,3,I,2O)
+    y = jax.lax.conv_general_dilated(
+        x, wws, (1, 1), ((2, 2), (1, 1)), lhs_dilation=(2, 1),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    if bias is not None:
+        y = y + jnp.tile(bias, 2).astype(y.dtype)
+    return y
+
+
 def to_ws2d(x: jax.Array) -> jax.Array:
     """(B, H, W, C) -> (B, H, W/2, 2C) width-space-to-depth view.
 

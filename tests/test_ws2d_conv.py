@@ -90,6 +90,20 @@ def test_ws2d_blocks_structure():
     assert nz == 2 * 9 * 2 * 3
 
 
+@pytest.mark.parametrize('h,w,ci,co', [(6, 8, 4, 4), (9, 13, 5, 3)])
+def test_upconv3_ws2d_matches_composite(h, w, ci, co):
+    from femasr_tpu.ops.layers import upconv3_ws2d, upsample_nearest
+    rng = np.random.RandomState(7)
+    x = _rand(rng, 1, h, w, ci)
+    k = _rand(rng, 3, 3, ci, co) * 0.1
+    b = _rand(rng, co) * 0.1
+    ref = to_ws2d(_ref_conv(upsample_nearest(x, 2), k, b))
+    got = upconv3_ws2d(x, k, b)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_groupnorm_ws2d_matches_groupnorm():
     rng = np.random.RandomState(5)
     c = 64

@@ -28,7 +28,7 @@ from ..ops.layers import (ActLayer, CombineQuantBlock, Conv3Int8,
                           GroupNormS2D, GroupNormWs2D, NormLayer, ResBlock,
                           UpConv3, conv2d, conv3_s2d, from_ws2d,
                           pixel_shuffle_phase_major, to_ws2d, upconv3_s2d,
-                          upconv3_ws2d)
+                          upconv3_ws2d, upconv3_ws2d2)
 from ..ops.pallas.ws2d_conv import conv3_ws2d
 from ..ops.quantize import VectorQuantizer
 from ..ops.swin import SwinLayers
@@ -324,19 +324,21 @@ class ResBlockWs2D(nn.Module):
 
 class UpConv3Ws2D(nn.Module):
     """nearest-2x upsample + 3x3 conv emitting the ws2d form directly
-    (ops/layers.py upconv3_ws2d); params match UpConv3/conv2d."""
+    (ops/layers.py upconv3_ws2d); params match UpConv3/conv2d.
+    ws2d_in=True consumes a ws2d input too (level chaining — upconv3_ws2d2)."""
     features: int
+    ws2d_in: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // (2 if self.ws2d_in else 1)
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (3, 3, in_ch, self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        return upconv3_ws2d(x.astype(self.dtype),
-                            kernel.astype(self.dtype), bias)
+        fn = upconv3_ws2d2 if self.ws2d_in else upconv3_ws2d
+        return fn(x.astype(self.dtype), kernel.astype(self.dtype), bias)
 
 
 class DecoderBlockWs2D(nn.Module):
@@ -350,11 +352,13 @@ class DecoderBlockWs2D(nn.Module):
     out_ch: int
     norm_type: str = 'gn'
     act_type: str = 'silu'
+    ws2d_in: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = UpConv3Ws2D(self.out_ch, dtype=self.dtype, name='conv')(x)
+        x = UpConv3Ws2D(self.out_ch, ws2d_in=self.ws2d_in,
+                        dtype=self.dtype, name='conv')(x)
         x = ResBlockWs2D(self.out_ch, self.norm_type, self.act_type,
                          self.dtype, name='res1')(x, train)
         x = ResBlockWs2D(self.out_ch, self.norm_type, self.act_type,
@@ -472,6 +476,11 @@ class FeMaSRNet(nn.Module):
     # 512px program, bench_evidence/copy_attrib_512_full_r5.txt);
     # requires gn; exact math (bf16 rounding order differs)
     ws2d_tail: bool = False
+    # with ws2d_tail: run the last N decoder levels in ws2d (level 2
+    # chains via the ws2d-input fused upsample, upconv3_ws2d2; the
+    # encoder skip joins via to_ws2d — targets decoder_group_1's
+    # 2.44 GB staging waste on top of dec2's)
+    ws2d_levels: int = 1
     # serving-only: last decoder level + out_conv in w8a8 int8 (v5e int8
     # MXU = 2x bf16 peak); dynamic per-tensor activation scales, per-
     # channel weight scales, checkpoint-free (ops/layers.py conv3_w8a8)
@@ -547,9 +556,12 @@ class FeMaSRNet(nn.Module):
                 decoders.append(DecoderBlockS2D(
                     out_ch, self.norm_type, self.act_type, self.dtype,
                     name=f'decoder_group_{i}'))
-            elif self.ws2d_tail and i == self.max_depth - 1:
+            elif (self.ws2d_tail
+                  and i >= self.max_depth - self.ws2d_levels):
                 decoders.append(DecoderBlockWs2D(
-                    out_ch, self.norm_type, self.act_type, self.dtype,
+                    out_ch, self.norm_type, self.act_type,
+                    ws2d_in=i > self.max_depth - self.ws2d_levels,
+                    dtype=self.dtype,
                     name=f'decoder_group_{i}'))
             elif self.int8_tail and i >= self.max_depth - self.int8_levels:
                 decoders.append(DecoderBlockInt8(
@@ -660,7 +672,13 @@ class FeMaSRNet(nn.Module):
                 out = after_quant_feat
             else:
                 if self.LQ_stage and self.use_residual:
-                    out = out + enc_feats[i]
+                    if (self.ws2d_tail
+                            and i > self.max_depth - self.ws2d_levels):
+                        # `out` is in ws2d form (previous level was a
+                        # chained ws2d block); join the skip in-domain
+                        out = out + to_ws2d(enc_feats[i])
+                    else:
+                        out = out + enc_feats[i]
 
             out = self.decoder_group[i](out, train)
             prev_dec_feat = out

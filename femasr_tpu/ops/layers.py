@@ -724,6 +724,54 @@ def upconv3_ws2d(x: jax.Array, kernel: jax.Array,
     return y
 
 
+def upconv3_ws2d2(x: jax.Array, kernel: jax.Array,
+                  bias: Optional[jax.Array] = None) -> jax.Array:
+    """upconv3_ws2d with the INPUT also in ws2d form (level chaining).
+
+    x: (B, H, Wh, 2I) — ws2d of (B, H, 2*Wh, I); returns
+    (B, 2H, 2*Wh, 2O) — ws2d of the (B, 2H, 4*Wh, O) HR output of
+    nearest-2x + 3x3 SAME conv. Lets consecutive ws2d decoder levels
+    chain without a from_ws2d relayout between them.
+
+    Derivation: H side is upconv3_dilated's A-matrix; W side needs BOTH
+    lhs dilation (output W = 2x input W) and phase blocks. With
+    KH = A-fold(K) and Kc0/Kc12/Kc01/Kc2 its W-taps folded per output
+    phase (as in upconv3_ws2d), the four W kernel positions carry the
+    (q-in x p-out) blocks
+        n=0: [[0,0],[Kc0,0]]   n=1: [[Kc0,0],[Kc12,Kc01]]
+        n=2: [[Kc12,Kc01],[0,Kc2]]   n=3: [[0,Kc2],[0,0]]
+    applied as one lhs_dilation=(2,2), padding=((2,2),(2,2)) conv with a
+    (4, 4, 2I, 2O) kernel (checked against the composite path in
+    tests/test_ws2d_conv.py).
+    """
+    a4 = jnp.asarray([[1., 0., 0.], [1., 1., 0.], [0., 1., 1.],
+                      [0., 0., 1.]], kernel.dtype)
+    kh = jnp.einsum('au,uvio->avio', a4, kernel)     # (4, 3, I, O)
+    kc0, kc1, kc2 = kh[:, 0], kh[:, 1], kh[:, 2]
+    kc12, kc01 = kc1 + kc2, kc0 + kc1
+    z = jnp.zeros_like(kc0)
+
+    def blk(q0p0, q0p1, q1p0, q1p1):
+        # (4, 2I, 2O) from four (4, I, O) blocks
+        top = jnp.concatenate([q0p0, q0p1], axis=-1)
+        bot = jnp.concatenate([q1p0, q1p1], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
+    k44 = jnp.stack([
+        blk(z, z, kc0, z),
+        blk(kc0, z, kc12, kc01),
+        blk(kc12, kc01, z, kc2),
+        blk(z, kc2, z, z),
+    ], axis=1)                                        # (4, 4, 2I, 2O)
+    y = jax.lax.conv_general_dilated(
+        x, k44.astype(x.dtype), (1, 1), ((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    if bias is not None:
+        y = y + jnp.tile(bias, 2).astype(y.dtype)
+    return y
+
+
 def to_ws2d(x: jax.Array) -> jax.Array:
     """(B, H, W, C) -> (B, H, W/2, 2C) width-space-to-depth view.
 

@@ -26,6 +26,8 @@ def main():
     ap.add_argument('--s2d', action='store_true')
     ap.add_argument('--ws2d', action='store_true',
                     help='Pallas ws2d decoder tail (round-5)')
+    ap.add_argument('--ws2d-levels', type=int, default=1,
+                    help='last N decoder levels in ws2d (with --ws2d)')
     ap.add_argument('--int8', action='store_true',
                     help='w8a8 int8 decoder tail')
     ap.add_argument('--int8-levels', type=int, default=1,
@@ -56,7 +58,7 @@ def main():
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       fused_upsample=args.fused, s2d_tail=args.s2d,
-                      ws2d_tail=args.ws2d,
+                      ws2d_tail=args.ws2d, ws2d_levels=args.ws2d_levels,
                       int8_tail=args.int8, int8_levels=args.int8_levels,
                       int8_enc_up=args.int8_enc_up,
                       int8_swin=args.int8_swin,

@@ -577,6 +577,13 @@ AGENDA = [
                       'ws2dconv', '--timeout', '240'], 400, None, False),
     ('r5_ws2d_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--ws2d'],
      880, None, False),
+    # ws2d_levels=2 (dec1 chained via the ws2d-input upconv): byte
+    # report first (compile-only), then the wall A/B
+    ('hlo_bytes_ws2dl2', [PY, 'scripts/hlo_bytes.py', '512', '1',
+                          '--ws2d', '--ws2d-levels', '2', '--opcode',
+                          'copy', '--top', '8'], 700, None, False),
+    ('r5_ws2d2_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--ws2d',
+                       '--ws2d-levels', '2'], 880, None, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group
     # prefixes / first up block. Each compiles a fresh big program —

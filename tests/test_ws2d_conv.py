@@ -104,6 +104,20 @@ def test_upconv3_ws2d_matches_composite(h, w, ci, co):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize('h,w,ci,co', [(6, 8, 4, 4), (5, 12, 3, 5)])
+def test_upconv3_ws2d2_matches_composite(h, w, ci, co):
+    from femasr_tpu.ops.layers import upconv3_ws2d2, upsample_nearest
+    rng = np.random.RandomState(8)
+    x = _rand(rng, 1, h, w, ci)
+    k = _rand(rng, 3, 3, ci, co) * 0.1
+    b = _rand(rng, co) * 0.1
+    ref = to_ws2d(_ref_conv(upsample_nearest(x, 2), k, b))
+    got = upconv3_ws2d2(to_ws2d(x), k, b)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_groupnorm_ws2d_matches_groupnorm():
     rng = np.random.RandomState(5)
     c = 64
@@ -119,7 +133,8 @@ def test_groupnorm_ws2d_matches_groupnorm():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_ws2d_tail_model_parity():
+@pytest.mark.parametrize('levels', [1, 2])
+def test_ws2d_tail_model_parity(levels):
     """Same checkpoint through baseline and ws2d_tail decoders (f32)."""
     from femasr_tpu.models import FeMaSRNet
 
@@ -127,7 +142,7 @@ def test_ws2d_tail_model_parity():
               scale_factor=4, norm_type='gn', act_type='silu',
               dtype=jnp.float32)
     base = FeMaSRNet(**kw)
-    ws2d = FeMaSRNet(ws2d_tail=True, **kw)
+    ws2d = FeMaSRNet(ws2d_tail=True, ws2d_levels=levels, **kw)
     x = jnp.asarray(np.random.RandomState(6).rand(1, 32, 32, 3),
                     jnp.float32)
     params = base.init(jax.random.PRNGKey(0), x)['params']

@@ -366,6 +366,29 @@ class DecoderBlockWs2D(nn.Module):
         return x
 
 
+class EncoderUpBlockWs2D(nn.Module):
+    """EncoderUpBlock evaluated in the ws2d domain (round-5).
+
+    Emits the ws2d form directly (fused upsample upconv3_ws2d), so the
+    1024px C=128 up-level tensors never materialize in the staged NHWC
+    form (the encoder's 2.0x-waste class). Output feeds the chained-ws2d
+    decoder skip in-domain. Param tree identical to EncoderUpBlock.
+    """
+    out_ch: int
+    norm_type: str = 'gn'
+    act_type: str = 'silu'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = UpConv3Ws2D(self.out_ch, dtype=self.dtype, name='conv')(x)
+        x = ResBlockWs2D(self.out_ch, self.norm_type, self.act_type,
+                         self.dtype, name='res1')(x, train)
+        x = ResBlockWs2D(self.out_ch, self.norm_type, self.act_type,
+                         self.dtype, name='res2')(x, train)
+        return x
+
+
 class MultiScaleEncoder(nn.Module):
     """in_conv + stride-2 down blocks (+ SwinLayers + 2 up blocks in LQ stage).
 
@@ -385,6 +408,10 @@ class MultiScaleEncoder(nn.Module):
     int8_swin: bool = False
     int8_mlp: bool = False
     attn_layout: str = 'spatial'
+    # emit the LAST up block's output in ws2d form (EncoderUpBlockWs2D)
+    # — only meaningful when the consumer (the chained-ws2d decoder
+    # skip) expects it; see FeMaSRNet.ws2d_enc_up
+    ws2d_up_last: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -431,10 +458,15 @@ class MultiScaleEncoder(nn.Module):
                 return outputs
             for up_i in range(2):
                 out_ch = CHANNEL_QUERY_DICT[res * 2]
-                x = EncoderUpBlock(out_ch, self.norm_type, self.act_type,
-                                   self.fused_upsample, self.int8_enc_up,
-                                   self.dtype,
-                                   name=f'blocks_{idx}')(x, train)
+                if self.ws2d_up_last and up_i == 1:
+                    x = EncoderUpBlockWs2D(
+                        out_ch, self.norm_type, self.act_type, self.dtype,
+                        name=f'blocks_{idx}')(x, train)
+                else:
+                    x = EncoderUpBlock(out_ch, self.norm_type,
+                                       self.act_type, self.fused_upsample,
+                                       self.int8_enc_up, self.dtype,
+                                       name=f'blocks_{idx}')(x, train)
                 outputs.append(x)
                 res *= 2
                 idx += 1
@@ -481,6 +513,10 @@ class FeMaSRNet(nn.Module):
     # encoder skip joins via to_ws2d — targets decoder_group_1's
     # 2.44 GB staging waste on top of dec2's)
     ws2d_levels: int = 1
+    # with ws2d_levels>=2 (LQ stage): the encoder's LAST up block also
+    # runs in ws2d and its skip joins the decoder in-domain — targets
+    # the encoder up-level's 2.0x staging-waste class
+    ws2d_enc_up: bool = False
     # serving-only: last decoder level + out_conv in w8a8 int8 (v5e int8
     # MXU = 2x bf16 peak); dynamic per-tensor activation scales, per-
     # channel weight scales, checkpoint-free (ops/layers.py conv3_w8a8)
@@ -533,6 +569,11 @@ class FeMaSRNet(nn.Module):
         emb_nums = [p[1] for p in params]
         emb_dims = [p[2] for p in params]
 
+        if self.ws2d_enc_up:
+            assert self.ws2d_tail and self.ws2d_levels >= 2 and \
+                self.LQ_stage, (
+                    'ws2d_enc_up requires LQ_stage + ws2d_tail with '
+                    'ws2d_levels >= 2 (the skip consumer must be in-domain)')
         self.multiscale_encoder = MultiScaleEncoder(
             in_channel=self.in_channel,
             max_depth=self.encode_depth,
@@ -543,6 +584,7 @@ class FeMaSRNet(nn.Module):
             int8_enc_up=self.int8_enc_up, int8_swin=self.int8_swin,
             int8_mlp=self.int8_mlp,
             attn_layout=self.attn_layout,
+            ws2d_up_last=self.ws2d_enc_up,
             dtype=self.dtype)
 
         assert sum((self.s2d_tail, self.int8_tail, self.ws2d_tail)) <= 1, (
@@ -675,8 +717,14 @@ class FeMaSRNet(nn.Module):
                     if (self.ws2d_tail
                             and i > self.max_depth - self.ws2d_levels):
                         # `out` is in ws2d form (previous level was a
-                        # chained ws2d block); join the skip in-domain
-                        out = out + to_ws2d(enc_feats[i])
+                        # chained ws2d block); join the skip in-domain.
+                        # With ws2d_enc_up the last encoder output is
+                        # ALREADY ws2d.
+                        skip = enc_feats[i]
+                        if not (self.ws2d_enc_up
+                                and i == self.max_depth - 1):
+                            skip = to_ws2d(skip)
+                        out = out + skip
                     else:
                         out = out + enc_feats[i]
 

@@ -275,6 +275,9 @@ def main():
                     help='Pallas ws2d decoder tail (round-5)')
     ap.add_argument('--ws2d-levels', type=int, default=1,
                     help='last N decoder levels in ws2d (with --ws2d)')
+    ap.add_argument('--ws2d-enc-up', action='store_true',
+                    help='encoder last up block in ws2d too (needs '
+                         '--ws2d-levels 2)')
     ap.add_argument('--int8-mlp', action='store_true',
                     help='per-token int8 chain for the swin MLPs')
     ap.add_argument('--top', type=int, default=40)
@@ -309,6 +312,7 @@ def main():
                       scale_factor=4, norm_type='gn', act_type='silu',
                       fused_upsample=args.fused, s2d_tail=args.s2d,
                       ws2d_tail=args.ws2d, ws2d_levels=args.ws2d_levels,
+                      ws2d_enc_up=args.ws2d_enc_up,
                       int8_mlp=args.int8_mlp, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),

@@ -570,20 +570,31 @@ AGENDA = [
     ('ws2d_ktest', [PY, 'scripts/pallas_compile_probe.py', '--kernels',
                     'ws2dconv,ws2dout,ws2dconv_th4', '--timeout', '120'],
      500, None, False),
+    # compile-only byte/pad reports for the three ws2d configs (tail /
+    # +dec1 chained / +encoder-up) — these also warm the persistent
+    # compile cache so the wall A/Bs spend their windows executing
     ('hlo_bytes_ws2d', [PY, 'scripts/hlo_bytes.py', '512', '1', '--ws2d',
                         '--opcode', 'copy', '--top', '8'], 700, None,
      False),
-    ('r5_ws2d_exec', [PY, 'scripts/pallas_exec_probe.py', '--kernels',
-                      'ws2dconv', '--timeout', '240'], 400, None, False),
-    ('r5_ws2d_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--ws2d'],
-     880, None, False),
-    # ws2d_levels=2 (dec1 chained via the ws2d-input upconv): byte
-    # report first (compile-only), then the wall A/B
     ('hlo_bytes_ws2dl2', [PY, 'scripts/hlo_bytes.py', '512', '1',
                           '--ws2d', '--ws2d-levels', '2', '--opcode',
                           'copy', '--top', '8'], 700, None, False),
+    ('hlo_bytes_ws2dl2e', [PY, 'scripts/hlo_bytes.py', '512', '1',
+                           '--ws2d', '--ws2d-levels', '2',
+                           '--ws2d-enc-up', '--opcode', 'copy', '--top',
+                           '8'], 700, None, False),
+    # tiny on-chip exec parity, then wall A/Bs deepest-config-first
+    # (the one predicted fastest decides the default flip; the others
+    # attribute per-level contributions if windows allow)
+    ('r5_ws2d_exec', [PY, 'scripts/pallas_exec_probe.py', '--kernels',
+                      'ws2dconv', '--timeout', '240'], 400, None, False),
+    ('r5_ws2d2e_wall', [PY, 'scripts/perf_probe.py', '512', '1',
+                        '--ws2d', '--ws2d-levels', '2', '--ws2d-enc-up'],
+     880, None, False),
     ('r5_ws2d2_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--ws2d',
                        '--ws2d-levels', '2'], 880, None, False),
+    ('r5_ws2d_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--ws2d'],
+     880, None, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group
     # prefixes / first up block. Each compiles a fresh big program —

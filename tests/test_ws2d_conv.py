@@ -133,8 +133,9 @@ def test_groupnorm_ws2d_matches_groupnorm():
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize('levels', [1, 2])
-def test_ws2d_tail_model_parity(levels):
+@pytest.mark.parametrize('levels,enc_up', [(1, False), (2, False),
+                                           (2, True)])
+def test_ws2d_tail_model_parity(levels, enc_up):
     """Same checkpoint through baseline and ws2d_tail decoders (f32)."""
     from femasr_tpu.models import FeMaSRNet
 
@@ -142,7 +143,8 @@ def test_ws2d_tail_model_parity(levels):
               scale_factor=4, norm_type='gn', act_type='silu',
               dtype=jnp.float32)
     base = FeMaSRNet(**kw)
-    ws2d = FeMaSRNet(ws2d_tail=True, ws2d_levels=levels, **kw)
+    ws2d = FeMaSRNet(ws2d_tail=True, ws2d_levels=levels,
+                     ws2d_enc_up=enc_up, **kw)
     x = jnp.asarray(np.random.RandomState(6).rand(1, 32, 32, 3),
                     jnp.float32)
     params = base.init(jax.random.PRNGKey(0), x)['params']

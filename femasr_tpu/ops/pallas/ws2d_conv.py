@@ -87,12 +87,19 @@ def _epilogue(y, bias2, act: Optional[str]):
 
 def _ws2d_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
                  th: int, w_out: int, c2: int, act: Optional[str],
-                 out_dtype):
+                 out_dtype, dots: int):
     """One (th, w_out) output row-strip; batch 1.
 
     x_hbm holds the zero-padded (H + 2, Wp, 2C) ws2d input (1-row halo
     top/bottom = the HR SAME row padding; 1-col halo left/right = the
     dm = +-1 taps, exact because a ws2d column pair is two HR columns).
+
+    dots=6 (default): per row-tap u, ONE dense center dot plus ONE
+    packed edge dot — the dm=-1 block is nonzero only in its q1-input
+    half and dm=+1 only in q0, so [x_(dm=-1) hi-lanes | x_(dm=+1)
+    lo-lanes] @ [B-1 lower-rows ; B+1 upper-rows] covers both at full
+    MXU width. 6 dots = 1.33x HR MACs (vs 2x for the plain 9-dot form,
+    dots=9 / FEMASR_WS2D_DOTS=9 for A/Bs).
     """
     i = pl.program_id(0)
     cp = pltpu.make_async_copy(
@@ -102,14 +109,32 @@ def _ws2d_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
     x = x_vmem[:]
 
     f2 = w_ref.shape[2]
-    acc = jnp.zeros((th * w_out, f2), jnp.float32)
+    m = th * w_out
+    h2 = c2 // 2
+    acc = jnp.zeros((m, f2), jnp.float32)
     for u in range(3):
-        for dm in range(3):
-            tap = x[u:u + th, dm:dm + w_out, :].reshape(th * w_out, c2)
+        if dots == 6:
+            ctr = x[u:u + th, 1:1 + w_out, :].reshape(m, c2)
             acc = acc + jax.lax.dot_general(
-                tap, w_ref[u * 3 + dm],
+                ctr, w_ref[u * 3 + 1],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            edge = jnp.concatenate(
+                [x[u:u + th, 0:w_out, h2:],
+                 x[u:u + th, 2:2 + w_out, :h2]], axis=-1).reshape(m, c2)
+            w_edge = jnp.concatenate(
+                [w_ref[u * 3 + 0][h2:], w_ref[u * 3 + 2][:h2]], axis=0)
+            acc = acc + jax.lax.dot_general(
+                edge, w_edge,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            for dm in range(3):
+                tap = x[u:u + th, dm:dm + w_out, :].reshape(m, c2)
+                acc = acc + jax.lax.dot_general(
+                    tap, w_ref[u * 3 + dm],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
     bias2 = b_ref[:][0] if b_ref is not None else None
     y = _epilogue(acc, bias2, act)
@@ -163,6 +188,14 @@ def _ws2d_single(x1, blocks, bias2, *, act, th, interpret):
     c_pad = (-c2) % LANES
     f_pad = (-f2) % LANES
     c2p, f2p = c2 + c_pad, f2 + f_pad
+    # 6-dot (packed-edge) form needs the q0/q1 lane halves at c2/2 —
+    # only meaningful when the channel dim is not zero-padded (the pad
+    # rows sit BETWEEN the halves otherwise). Model shapes (c2=128/256)
+    # qualify; tiny test shapes fall back to the 9-dot form.
+    dots = 6 if c_pad == 0 else 9
+    env_dots = os.environ.get('FEMASR_WS2D_DOTS')
+    if env_dots:
+        dots = int(env_dots)
 
     def _vmem_est(t):
         return ((t + 2) * wip * c2p * 2       # bf16 window
@@ -191,7 +224,8 @@ def _ws2d_single(x1, blocks, bias2, *, act, th, interpret):
                      memory_space=pltpu.VMEM),
     ]
     args = [x_p, blocks]
-    kw = dict(th=th, w_out=wo, c2=c2p, act=act, out_dtype=x1.dtype)
+    kw = dict(th=th, w_out=wo, c2=c2p, act=act, out_dtype=x1.dtype,
+              dots=dots)
     if bias2 is not None:
         in_specs.append(pl.BlockSpec((1, f2p), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))

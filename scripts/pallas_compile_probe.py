@@ -124,6 +124,15 @@ CASES = {
         'jnp.zeros((1, 2048, 1024, 128), jnp.bfloat16),'
         'jnp.zeros((3, 3, 64, 3), jnp.float32),'
         'jnp.zeros((3,), jnp.float32)).compile()\n'),
+    # 9-dot fallback (insurance if the 6-dot form's 64-lane edge slices
+    # upset Mosaic)
+    'ws2dconv_d9': PRELUDE + (
+        'import os; os.environ["FEMASR_WS2D_DOTS"] = "9"\n'
+        'from femasr_tpu.ops.pallas.ws2d_conv import conv3_ws2d\n'
+        'jax.jit(lambda x, k, b: conv3_ws2d(x, k, b)).lower('
+        'jnp.zeros((1, 2048, 1024, 128), jnp.bfloat16),'
+        'jnp.zeros((3, 3, 64, 64), jnp.float32),'
+        'jnp.zeros((64,), jnp.float32)).compile()\n'),
     # ws2d conv at a reduced row-strip (bisect insurance if the th
     # VMEM-budget choice fails on the real Mosaic limit)
     'ws2dconv_th4': PRELUDE + (

@@ -570,6 +570,12 @@ AGENDA = [
     ('ws2d_ktest', [PY, 'scripts/pallas_compile_probe.py', '--kernels',
                     'ws2dconv,ws2dout,ws2dconv_th4', '--timeout', '120'],
      500, None, False),
+    # the packed-edge 6-dot form (now the model-shape default) vs the
+    # 9-dot insurance case — fresh Mosaic validation after the kernel
+    # rewrite
+    ('ws2d_ktest6', [PY, 'scripts/pallas_compile_probe.py', '--kernels',
+                     'ws2dconv,ws2dout,ws2dconv_d9', '--timeout', '120'],
+     500, None, False),
     # compile-only byte/pad reports for the three ws2d configs (tail /
     # +dec1 chained / +encoder-up) — these also warm the persistent
     # compile cache so the wall A/Bs spend their windows executing

@@ -190,12 +190,18 @@ def _ws2d_single(x1, blocks, bias2, *, act, th, interpret):
     c2p, f2p = c2 + c_pad, f2 + f_pad
     # 6-dot (packed-edge) form needs the q0/q1 lane halves at c2/2 —
     # only meaningful when the channel dim is not zero-padded (the pad
-    # rows sit BETWEEN the halves otherwise). Model shapes (c2=128/256)
-    # qualify; tiny test shapes fall back to the 9-dot form.
-    dots = 6 if c_pad == 0 else 9
+    # rows sit BETWEEN the halves otherwise). DEFAULT 9: the edge-lane
+    # concat hits a Mosaic "result/input offset mismatch on non-concat
+    # dimension" Not-implemented on this toolchain (ws2d_ktest6,
+    # 2026-08-20 12:03 UTC) while the 9-dot form compiles; flip via
+    # FEMASR_WS2D_DOTS=6 where Mosaic supports offset lane concats
+    # (interpret-mode parity is pinned by tests either way).
+    dots = 9
     env_dots = os.environ.get('FEMASR_WS2D_DOTS')
     if env_dots:
         dots = int(env_dots)
+    if dots == 6 and c_pad != 0:
+        dots = 9
 
     def _vmem_est(t):
         return ((t + 2) * wip * c2p * 2       # bf16 window

@@ -68,14 +68,16 @@ def test_conv3_ws2d_batch():
 
 
 def test_conv3_ws2d_6dot_matches_9dot(monkeypatch):
-    # lane-aligned channels take the packed-edge 6-dot path by default;
-    # pin it against the plain 9-dot form AND the NHWC reference
+    # the packed-edge 6-dot form (env-gated: its lane concat is
+    # Not-implemented on the relay's Mosaic) vs the default 9-dot form,
+    # both against the NHWC reference
     rng = np.random.RandomState(9)
     x = _rand(rng, 1, 8, 16, 64)
     k = _rand(rng, 3, 3, 64, 64) * 0.05
     b = _rand(rng, 64) * 0.05
     ref = _ref_conv(x, k, b)
-    got6 = from_ws2d(conv3_ws2d(to_ws2d(x), k, b))
+    monkeypatch.setenv('FEMASR_WS2D_DOTS', '6')
+    got6 = from_ws2d(conv3_ws2d(to_ws2d(x), k, b, th=4))
     monkeypatch.setenv('FEMASR_WS2D_DOTS', '9')
     got9 = from_ws2d(conv3_ws2d(to_ws2d(x), k, b, th=8))
     np.testing.assert_allclose(np.asarray(got6), np.asarray(ref),

@@ -589,16 +589,15 @@ AGENDA = [
                            '--ws2d', '--ws2d-levels', '2',
                            '--ws2d-enc-up', '--opcode', 'copy', '--top',
                            '8'], 700, None, False),
-    # tiny on-chip exec parity, then wall A/Bs deepest-config-first
-    # (the one predicted fastest decides the default flip; the others
-    # attribute per-level contributions if windows allow)
+    # tiny on-chip exec parity, then the ONE wall A/B that matters:
+    # the byte reports decided the config — ws2d_levels=1 compiles at
+    # 92.90 GB logical / ~110.8 physical, while levels=2 (115.35 GB)
+    # and levels=2+enc_up (114.20 GB) REGRESS ~25 GB of encoder/
+    # no-metadata padding waste under this XLA's layout assignment
+    # (deeper ws2d chains propagate layouts badly; archived in
+    # FORMULATIONS.md — their wall phases were dropped, don't re-add).
     ('r5_ws2d_exec', [PY, 'scripts/pallas_exec_probe.py', '--kernels',
                       'ws2dconv', '--timeout', '240'], 400, None, False),
-    ('r5_ws2d2e_wall', [PY, 'scripts/perf_probe.py', '512', '1',
-                        '--ws2d', '--ws2d-levels', '2', '--ws2d-enc-up'],
-     880, None, False),
-    ('r5_ws2d2_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--ws2d',
-                       '--ws2d-levels', '2'], 880, None, False),
     ('r5_ws2d_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--ws2d'],
      880, None, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms

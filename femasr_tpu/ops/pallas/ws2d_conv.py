@@ -112,6 +112,16 @@ def _ws2d_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
     m = th * w_out
     h2 = c2 // 2
     acc = jnp.zeros((m, f2), jnp.float32)
+    if dots == 6:
+        # constant lane masks: q1 lanes (>= h2) of the dm=-1 tap, q0
+        # lanes (< h2) of the dm=+1 tap. The two edge blocks have
+        # DISJOINT row supports (q1->p0 and q0->p1), so masked taps
+        # dotted against their SUM is exact — one K=c2 edge dot per
+        # row-tap with zero lane concats/slices (the concat form is
+        # Mosaic-Not-implemented on this toolchain).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c2), 2)
+        m_hi = (lane >= h2).astype(x.dtype)
+        m_lo = (lane < h2).astype(x.dtype)
     for u in range(3):
         if dots == 6:
             ctr = x[u:u + th, 1:1 + w_out, :].reshape(m, c2)
@@ -119,11 +129,10 @@ def _ws2d_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
                 ctr, w_ref[u * 3 + 1],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            edge = jnp.concatenate(
-                [x[u:u + th, 0:w_out, h2:],
-                 x[u:u + th, 2:2 + w_out, :h2]], axis=-1).reshape(m, c2)
-            w_edge = jnp.concatenate(
-                [w_ref[u * 3 + 0][h2:], w_ref[u * 3 + 2][:h2]], axis=0)
+            edge = (x[u:u + th, 0:w_out, :] * m_hi
+                    + x[u:u + th, 2:2 + w_out, :] * m_lo
+                    ).reshape(m, c2)
+            w_edge = w_ref[u * 3 + 0] + w_ref[u * 3 + 2]
             acc = acc + jax.lax.dot_general(
                 edge, w_edge,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -188,15 +197,13 @@ def _ws2d_single(x1, blocks, bias2, *, act, th, interpret):
     c_pad = (-c2) % LANES
     f_pad = (-f2) % LANES
     c2p, f2p = c2 + c_pad, f2 + f_pad
-    # 6-dot (packed-edge) form needs the q0/q1 lane halves at c2/2 —
-    # only meaningful when the channel dim is not zero-padded (the pad
-    # rows sit BETWEEN the halves otherwise). DEFAULT 9: the edge-lane
-    # concat hits a Mosaic "result/input offset mismatch on non-concat
-    # dimension" Not-implemented on this toolchain (ws2d_ktest6,
-    # 2026-08-20 12:03 UTC) while the 9-dot form compiles; flip via
-    # FEMASR_WS2D_DOTS=6 where Mosaic supports offset lane concats
-    # (interpret-mode parity is pinned by tests either way).
-    dots = 9
+    # 6-dot (masked-edge) form: constant lane masks + the summed
+    # disjoint-support edge blocks — 1.33x HR MACs vs the 9-dot's 2x at
+    # full MXU width, no lane concats (the earlier concat variant was
+    # Mosaic-Not-implemented; THIS form COMPILE PASSes at model shape,
+    # ws2dconv_d6 2026-08-20 12:52 UTC). Needs the q0/q1 halves at
+    # c2/2, i.e. an unpadded channel dim; tiny shapes fall back to 9.
+    dots = 6 if c_pad == 0 else 9
     env_dots = os.environ.get('FEMASR_WS2D_DOTS')
     if env_dots:
         dots = int(env_dots)

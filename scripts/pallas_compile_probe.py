@@ -124,6 +124,15 @@ CASES = {
         'jnp.zeros((1, 2048, 1024, 128), jnp.bfloat16),'
         'jnp.zeros((3, 3, 64, 3), jnp.float32),'
         'jnp.zeros((3,), jnp.float32)).compile()\n'),
+    # masked-edge 6-dot form (constant lane masks + summed disjoint edge
+    # blocks — no lane concat; 1.33x HR MACs vs the 9-dot's 2x)
+    'ws2dconv_d6': PRELUDE + (
+        'import os; os.environ["FEMASR_WS2D_DOTS"] = "6"\n'
+        'from femasr_tpu.ops.pallas.ws2d_conv import conv3_ws2d\n'
+        'jax.jit(lambda x, k, b: conv3_ws2d(x, k, b)).lower('
+        'jnp.zeros((1, 2048, 1024, 128), jnp.bfloat16),'
+        'jnp.zeros((3, 3, 64, 64), jnp.float32),'
+        'jnp.zeros((64,), jnp.float32)).compile()\n'),
     # 9-dot fallback (insurance if the 6-dot form's 64-lane edge slices
     # upset Mosaic)
     'ws2dconv_d9': PRELUDE + (

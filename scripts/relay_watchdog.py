@@ -600,6 +600,20 @@ AGENDA = [
                       'ws2dconv', '--timeout', '240'], 400, None, False),
     ('r5_ws2d_wall', [PY, 'scripts/perf_probe.py', '512', '1', '--ws2d'],
      880, None, False),
+    # masked-edge 6-dot kernel (now the model-shape default after its
+    # Mosaic PASS): the 9-dot wall measured 172.5 ms (1.519 MP/s) —
+    # byte win eaten by the 2x MAC overhead; the 6-dot form cuts kernel
+    # MACs to 1.33x HR. Fresh exec parity then the wall A/B; th=8
+    # variant probes the VMEM-budget choice (est. 11.3M vs the 16M
+    # Mosaic limit; th=4 shipped default).
+    ('r5_ws2d_exec6', [PY, 'scripts/pallas_exec_probe.py', '--kernels',
+                       'ws2dconv', '--timeout', '240'], 400, None,
+     False),
+    ('r5_ws2d_wall6', [PY, 'scripts/perf_probe.py', '512', '1',
+                       '--ws2d'], 880, None, False),
+    ('r5_ws2d_wall6_th8', [PY, 'scripts/perf_probe.py', '512', '1',
+                           '--ws2d'], 880,
+     {'FEMASR_WS2D_TH': '8'}, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group
     # prefixes / first up block. Each compiles a fresh big program —

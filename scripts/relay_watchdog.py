@@ -614,6 +614,14 @@ AGENDA = [
     ('r5_ws2d_wall6_th8', [PY, 'scripts/perf_probe.py', '512', '1',
                            '--ws2d'], 880,
      {'FEMASR_WS2D_TH': '8'}, False),
+    # standalone tail A/B at the real shape: per-variant wall of JUST
+    # decoder_group_2 + out_conv (full-program proxy puts ws2d at
+    # 165.9 vs ~159.8 baseline; this attributes the kernel-vs-XLA
+    # per-conv difference directly and decides whether GN-prologue +
+    # DMA double-buffering can flip the sign)
+    ('r5_tail_ab', [PY, 'scripts/tail_layout_probe.py', '--variants',
+                    'nhwc,ws2d', '--wall'], 880,
+     {'FEMASR_WS2D_TH': '8'}, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group
     # prefixes / first up block. Each compiles a fresh big program —

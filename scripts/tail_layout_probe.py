@@ -45,6 +45,12 @@ def main():
     ap.add_argument('--cout', type=int, default=64)
     ap.add_argument('--variants', default='nhwc,nchw')
     ap.add_argument('--top', type=int, default=6)
+    ap.add_argument('--wall', action='store_true',
+                    help='wall-clock each variant (chained lax.map, '
+                         'varied inputs, host-fetch sync) instead of '
+                         'printing the full byte report')
+    ap.add_argument('--chain', type=int, default=4)
+    ap.add_argument('--dispatches', type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -142,19 +148,79 @@ def main():
         return jnp.sum(conv_nchw(x, p['out'], p['out_b'])
                        .astype(jnp.float32))
 
-    fns = {'nhwc': tail_nhwc, 'nchw': tail_nchw}
+    def gn_ws2d(x, scale, bias, groups=32, eps=1e-6):
+        b, hh, wh_, c2_ = x.shape
+        c = c2_ // 2
+        xf = x.astype(jnp.float32)
+        m1 = xf.mean(axis=(1, 2))
+        m2 = jnp.square(xf).mean(axis=(1, 2))
+        mean = m1.reshape(b, 2, groups, c // groups).mean(axis=(1, 3))
+        mean2 = m2.reshape(b, 2, groups, c // groups).mean(axis=(1, 3))
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        mc = jnp.tile(jnp.repeat(mean, c // groups, 1), (1, 2))
+        ic = jnp.tile(jnp.repeat(inv, c // groups, 1), (1, 2))
+        mul = (ic[:, None, None, :] * jnp.tile(scale, 2)).astype(x.dtype)
+        sub = mc[:, None, None, :].astype(x.dtype)
+        return (x - sub) * mul + jnp.tile(bias, 2).astype(x.dtype)
+
+    def tail_ws2d(p, x):
+        from femasr_tpu.ops.layers import upconv3_ws2d
+        from femasr_tpu.ops.pallas.ws2d_conv import conv3_ws2d
+        g = p['gn']
+        x = upconv3_ws2d(x, p['up'].astype(x.dtype), p['up_b'])
+        for c1, c2_, sa, ba, sb, bb in (('c1a', 'c1b', 's1a', 'b1a',
+                                         's1b', 'b1b'),
+                                        ('c2a', 'c2b', 's2a', 'b2a',
+                                         's2b', 'b2b')):
+            r = gn_ws2d(x, g[sa], g[ba])
+            r = jax.nn.silu(r)
+            r = conv3_ws2d(r, p[c1], p[c1 + '_b'])
+            r = gn_ws2d(r, g[sb], g[bb])
+            r = jax.nn.silu(r)
+            r = conv3_ws2d(r, p[c2_], p[c2_ + '_b'])
+            x = x + r
+        return jnp.sum(conv3_ws2d(x, p['out'], p['out_b'])
+                       .astype(jnp.float32))
+
+    fns = {'nhwc': tail_nhwc, 'nchw': tail_nchw, 'ws2d': tail_ws2d}
     x = mk(1, h, h, ci)
     for v in args.variants.split(','):
-        fn = jax.jit(fns[v])
+        base_fn = fns[v]
+        if args.wall:
+            K = args.chain
+
+            @jax.jit
+            def fn(p, xs, base_fn=base_fn):
+                return jnp.sum(jax.lax.map(lambda xi: base_fn(p, xi[None]),
+                                           xs))
+            lower_args = (params, jnp.zeros((K, h, h, ci), jnp.bfloat16))
+        else:
+            fn = jax.jit(base_fn)
+            lower_args = (params, x)
         t0 = time.perf_counter()
-        compiled = fn.lower(params, x).compile()
+        compiled = fn.lower(*lower_args).compile()
         tc = time.perf_counter() - t0
         ca = compiled.cost_analysis() or {}
         by = float(ca.get('bytes accessed', 0))
         print(f'\n##### variant {v}: compile {tc:.1f}s, cost_analysis '
               f'{by / 1e9:.2f} GB -> logical roofline '
               f'{by / 819e9 * 1e3:.1f} ms', flush=True)
-        analyze(compiled.as_text(), top_n=args.top, scope_depth=2)
+        if not args.wall:
+            analyze(compiled.as_text(), top_n=args.top, scope_depth=2)
+            continue
+        salt = int(time.time() * 1e3) % 100003
+        xss = [jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(salt), 3 * d + 2),
+            (args.chain, h, h, ci), jnp.bfloat16) * 0.1
+            for d in range(args.dispatches + 1)]
+        float(fn(params, xss[0]))
+        t0 = time.perf_counter()
+        rs = [fn(params, xs) for xs in xss[1:]]
+        _ = [float(r) for r in rs]
+        dt = (time.perf_counter() - t0) / (args.dispatches * args.chain)
+        print(f'{v}: {dt * 1e3:.2f} ms/exec (chainK={args.chain}, '
+              f'roofline {by / 819e9 * 1e3:.1f} ms)', flush=True)
 
 
 if __name__ == '__main__':

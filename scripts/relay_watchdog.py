@@ -622,6 +622,14 @@ AGENDA = [
     ('r5_tail_ab', [PY, 'scripts/tail_layout_probe.py', '--variants',
                     'nhwc,ws2d', '--wall'], 880,
      {'FEMASR_WS2D_TH': '8'}, False),
+    # SAME-WINDOW full-program A/B (the 165.9-vs-159.8 comparison spans
+    # windows with +-4 ms variance, while the same-window tail A/B has
+    # ws2d 4.7 ms AHEAD — this settles the default flip). Caches warm.
+    ('r5_ab_samewin', ['bash', '-lc',
+                       f'timeout 400 {PY} scripts/perf_probe.py 512 1 && '
+                       f'FEMASR_WS2D_TH=8 timeout 400 {PY} '
+                       'scripts/perf_probe.py 512 1 --ws2d'], 860, None,
+     False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group
     # prefixes / first up block. Each compiles a fresh big program —

@@ -18,6 +18,7 @@ SwinLayers:114-132), re-designed TPU-first:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, List, Optional, Sequence
 
 import jax
@@ -25,7 +26,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.layers import (ActLayer, CombineQuantBlock, Conv3Int8,
-                          GroupNormS2D, GroupNormWs2D, NormLayer, ResBlock,
+                          GroupNormS2D, GroupNormWs2D, GroupNormWs2DAffine,
+                          NormLayer, ResBlock,
                           UpConv3, conv2d, conv3_s2d, from_ws2d,
                           pixel_shuffle_phase_major, to_ws2d, upconv3_s2d,
                           upconv3_ws2d, upconv3_ws2d2)
@@ -279,20 +281,39 @@ class NormLayerWs2D(nn.Module):
                              name='norm')(x)
 
 
-class Conv3Ws2D(nn.Module):
-    """3x3 SAME HR conv on the ws2d tensor via the Pallas kernel;
-    params match conv2d(features, 3) — checkpoint-interchangeable."""
-    features: int
+class NormLayerWs2DAffine(nn.Module):
+    """Stats-only NormLayerWs2D: returns the folded (a, b) affine for the
+    ws2d conv kernel's prologue. Params nest identically to NormLayerWs2D
+    (<name>/norm/{scale,bias}) — checkpoint-interchangeable."""
+    channels: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        return GroupNormWs2DAffine(num_groups=32, eps=1e-6,
+                                   dtype=self.dtype, name='norm')(x)
+
+
+class Conv3Ws2D(nn.Module):
+    """3x3 SAME HR conv on the ws2d tensor via the Pallas kernel;
+    params match conv2d(features, 3) — checkpoint-interchangeable.
+    `pre` = (a, b[, act]) folds the preceding GroupNorm normalize (+ act)
+    into the kernel prologue (stats computed by GroupNormWs2DAffine)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pre=None):
         in_ch = x.shape[-1] // 2
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (3, 3, in_ch, self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        return conv3_ws2d(x.astype(self.dtype), kernel, bias)
+        if pre is None:
+            return conv3_ws2d(x.astype(self.dtype), kernel, bias)
+        a, b, pact = pre
+        return conv3_ws2d(x.astype(self.dtype), kernel, bias,
+                          pre_scale=a, pre_bias=b, pre_act=pact)
 
 
 class ResBlockWs2D(nn.Module):
@@ -311,6 +332,23 @@ class ResBlockWs2D(nn.Module):
             'relu', 'leakyrelu', 'silu', 'gelu', 'none'), (
             f'ws2d decoder tail requires a phase-shape-agnostic activation, '
             f'got act_type={self.act_type!r} (prelu is unsupported)')
+        # fused path (release config gn+silu, lane-aligned channels):
+        # GroupNorm stats in XLA, normalize+silu inside the conv kernel
+        # prologue — one fewer HBM round trip per conv. Param trees
+        # identical either way. FEMASR_WS2D_FUSE_GN=0 restores unfused.
+        fuse = (self.norm_type.lower() == 'gn'
+                and self.act_type.lower() == 'silu'
+                and (2 * c) % 128 == 0
+                and os.environ.get('FEMASR_WS2D_FUSE_GN') != '0')
+        if fuse:
+            a1, b1 = NormLayerWs2DAffine(c, self.dtype, name='norm1')(x)
+            res = Conv3Ws2D(c, dtype=self.dtype, name='conv1')(
+                x, pre=(a1, b1, 'silu'))
+            a2, b2 = NormLayerWs2DAffine(c, self.dtype,
+                                         name='norm2')(res)
+            res = Conv3Ws2D(c, dtype=self.dtype, name='conv2')(
+                res, pre=(a2, b2, 'silu'))
+            return res + x
         res = NormLayerWs2D(c, self.norm_type, self.dtype,
                             name='norm1')(x, train)
         res = ActLayer(c, self.act_type, self.dtype, name='act1')(res)

@@ -828,6 +828,39 @@ class GroupNormWs2D(nn.Module):
             bias, 2).astype(self.dtype)
 
 
+class GroupNormWs2DAffine(nn.Module):
+    """GroupNormWs2D's statistics pass only: returns the folded per-
+    ws2d-channel affine (a, b) with y = x * a + b equal to the full
+    normalize. Parameter names/shapes identical to GroupNorm/
+    GroupNormWs2D ('scale'/'bias' over HR channels) — checkpoints
+    interchange; the normalize pass itself runs inside the ws2d conv
+    kernel's prologue (ops/pallas/ws2d_conv.py pre_scale/pre_bias)."""
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        c2 = x.shape[-1]
+        c = c2 // 2
+        g = self.num_groups
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        b = x.shape[0]
+        xf = x.astype(jnp.float32)
+        m1 = xf.mean(axis=tuple(range(1, x.ndim - 1)))            # (B, 2C)
+        m2 = jnp.square(xf).mean(axis=tuple(range(1, x.ndim - 1)))
+        mean = m1.reshape(b, 2, g, c // g).mean(axis=(1, 3))      # (B, G)
+        mean2 = m2.reshape(b, 2, g, c // g).mean(axis=(1, 3))
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.eps)
+        mean_c = jnp.tile(jnp.repeat(mean, c // g, axis=1), (1, 2))
+        inv_c = jnp.tile(jnp.repeat(inv, c // g, axis=1), (1, 2))
+        a = inv_c * jnp.tile(scale, 2)                            # (B, 2C)
+        bb = jnp.tile(bias, 2) - mean_c * a
+        return a, bb
+
+
 def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Nearest resize to arbitrary (H, W) matching torch F.interpolate(mode='nearest').
 

@@ -85,9 +85,10 @@ def _epilogue(y, bias2, act: Optional[str]):
     return y
 
 
-def _ws2d_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
-                 th: int, w_out: int, c2: int, act: Optional[str],
-                 out_dtype, dots: int):
+def _ws2d_kernel(x_hbm, w_ref, b_ref, ps_ref, pb_ref, o_ref, x_vmem,
+                 sem, *, th: int, w_out: int, w_in: int, c2: int,
+                 act: Optional[str], out_dtype, dots: int,
+                 pre_act: Optional[str], h_valid: int, wh_valid: int):
     """One (th, w_out) output row-strip; batch 1.
 
     x_hbm holds the zero-padded (H + 2, Wp, 2C) ws2d input (1-row halo
@@ -107,6 +108,26 @@ def _ws2d_kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *,
     cp.start()
     cp.wait()
     x = x_vmem[:]
+
+    if ps_ref is not None:
+        # fused GroupNorm-affine (+ activation) PROLOGUE: the stats pass
+        # runs in XLA (a cheap reduce); the normalize+act pass — a full
+        # HBM read+write per conv in the unfused chain — happens here in
+        # VMEM. The zero halo (HR SAME padding) must stay zero, and
+        # silu(b) != 0, so the pad region is re-masked by absolute
+        # row/col index (exactly the pad-AFTER-act semantics of the
+        # reference chain norm -> act -> conv_SAME).
+        xf = (x.astype(jnp.float32) * ps_ref[:][0] + pb_ref[:][0])
+        if pre_act == 'silu':
+            xf = xf * jax.nn.sigmoid(xf)
+        elif pre_act is not None:
+            raise ValueError(f'unknown pre_act {pre_act!r}')
+        row = (jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+               + i * th)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, w_in, 1), 1)
+        valid = ((row >= 1) & (row < h_valid + 1)
+                 & (col >= 1) & (col < wh_valid + 1))
+        x = jnp.where(valid, xf, 0.0).astype(x.dtype)
 
     f2 = w_ref.shape[2]
     m = th * w_out
@@ -156,10 +177,15 @@ def _resolve_interpret(interpret) -> bool:
     return interpret
 
 
-@functools.partial(jax.jit, static_argnames=('act', 'th', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('act', 'pre_act', 'th',
+                                             'interpret'))
 def conv3_ws2d(x: jax.Array, kernel: jax.Array,
                bias: Optional[jax.Array] = None,
-               act: Optional[str] = None, th: Optional[int] = None,
+               act: Optional[str] = None,
+               pre_scale: Optional[jax.Array] = None,
+               pre_bias: Optional[jax.Array] = None,
+               pre_act: Optional[str] = None,
+               th: Optional[int] = None,
                interpret=None) -> jax.Array:
     """3x3 SAME HR conv evaluated on the ws2d tensor.
 
@@ -168,6 +194,12 @@ def conv3_ws2d(x: jax.Array, kernel: jax.Array,
         kernel: (3, 3, I, O) float (the SAME parameter as the plain conv).
         bias: optional (O,) float.
         act: optional fused epilogue activation ('silu' | 'lrelu').
+        pre_scale/pre_bias: optional (B, 2I) or (2I,) f32 per-ws2d-channel
+            affine applied to the INPUT in VMEM (+ pre_act) — folds the
+            GroupNorm normalize pass (stats computed in XLA) into the
+            kernel, saving one full HBM round trip per conv. Requires a
+            lane-aligned channel dim.
+        pre_act: optional activation after the pre-affine ('silu').
         th: output rows per grid step (None = VMEM-budgeted).
     Returns:
         (B, H, Wh, 2O) in x.dtype — ws2d form of the HR conv output.
@@ -177,14 +209,26 @@ def conv3_ws2d(x: jax.Array, kernel: jax.Array,
     blocks = ws2d_blocks(kernel.astype(jnp.float32)).astype(x.dtype)
     b2 = (None if bias is None
           else jnp.tile(bias.astype(jnp.float32), 2))
+    if pre_scale is not None and pre_scale.ndim == 1:
+        pre_scale = jnp.broadcast_to(pre_scale, (b, c2))
+        pre_bias = jnp.broadcast_to(pre_bias, (b, c2))
     if b != 1:
-        return jax.vmap(lambda xi: _ws2d_single(
-            xi, blocks, b2, act=act, th=th, interpret=interpret))(x)
-    return _ws2d_single(x[0], blocks, b2, act=act, th=th,
-                        interpret=interpret)[None]
+        if pre_scale is None:
+            return jax.vmap(lambda xi: _ws2d_single(
+                xi, blocks, b2, act=act, pre_act=None, th=th,
+                interpret=interpret))(x)
+        return jax.vmap(lambda xi, ps, pb: _ws2d_single(
+            xi, blocks, b2, ps, pb, act=act, pre_act=pre_act, th=th,
+            interpret=interpret))(x, pre_scale, pre_bias)
+    return _ws2d_single(
+        x[0], blocks, b2,
+        None if pre_scale is None else pre_scale[0],
+        None if pre_bias is None else pre_bias[0],
+        act=act, pre_act=pre_act, th=th, interpret=interpret)[None]
 
 
-def _ws2d_single(x1, blocks, bias2, *, act, th, interpret):
+def _ws2d_single(x1, blocks, bias2, ps=None, pb=None, *, act, pre_act,
+                 th, interpret):
     h, wh, c2 = x1.shape
     f2 = blocks.shape[2]
 
@@ -225,6 +269,11 @@ def _ws2d_single(x1, blocks, bias2, *, act, th, interpret):
     h_pad = (-h) % th
     hp = h + h_pad
 
+    if ps is not None:
+        assert c_pad == 0, (
+            'pre-affine needs a lane-aligned channel dim (got '
+            f'{c2} channels)')
+
     x_p = jnp.pad(x1, ((1, 1 + h_pad), (1, wip - (wh + 1)), (0, c_pad)))
     if c_pad or f_pad:
         blocks = jnp.pad(blocks, ((0, 0), (0, c_pad), (0, f_pad)))
@@ -237,16 +286,34 @@ def _ws2d_single(x1, blocks, bias2, *, act, th, interpret):
                      memory_space=pltpu.VMEM),
     ]
     args = [x_p, blocks]
-    kw = dict(th=th, w_out=wo, c2=c2p, act=act, out_dtype=x1.dtype,
-              dots=dots)
-    if bias2 is not None:
+    kw = dict(th=th, w_out=wo, w_in=wip, c2=c2p, act=act,
+              out_dtype=x1.dtype, dots=dots, pre_act=pre_act,
+              h_valid=h, wh_valid=wh)
+    has_bias = bias2 is not None
+    if has_bias:
         in_specs.append(pl.BlockSpec((1, f2p), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(b_2d)
-        kern = functools.partial(_ws2d_kernel, **kw)
-    else:
-        def kern(x_hbm, w_ref, o_ref, x_vmem, sem):
-            _ws2d_kernel(x_hbm, w_ref, None, o_ref, x_vmem, sem, **kw)
+    has_pre = ps is not None
+    if has_pre:
+        vec_spec = pl.BlockSpec((1, c2p), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [vec_spec, vec_spec]
+        args += [ps.astype(jnp.float32).reshape(1, -1),
+                 pb.astype(jnp.float32).reshape(1, -1)]
+
+    def kern(*refs):
+        k = 2
+        b_ref = ps_ref = pb_ref = None
+        if has_bias:
+            b_ref = refs[k]
+            k += 1
+        if has_pre:
+            ps_ref, pb_ref = refs[k], refs[k + 1]
+            k += 2
+        o_ref, x_vmem, sem = refs[k], refs[k + 1], refs[k + 2]
+        _ws2d_kernel(refs[0], refs[1], b_ref, ps_ref, pb_ref, o_ref,
+                     x_vmem, sem, **kw)
 
     out = pl.pallas_call(
         kern,

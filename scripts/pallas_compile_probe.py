@@ -133,6 +133,18 @@ CASES = {
         'jnp.zeros((1, 2048, 1024, 128), jnp.bfloat16),'
         'jnp.zeros((3, 3, 64, 64), jnp.float32),'
         'jnp.zeros((64,), jnp.float32)).compile()\n'),
+    # fused GroupNorm-affine + silu prologue (per-channel vectors applied
+    # in VMEM with iota-masked halo re-zeroing)
+    'ws2dconv_pre': PRELUDE + (
+        'from femasr_tpu.ops.pallas.ws2d_conv import conv3_ws2d\n'
+        'f = lambda x, k, b, a, bb: conv3_ws2d(x, k, b, pre_scale=a, '
+        "pre_bias=bb, pre_act='silu')\n"
+        'jax.jit(f).lower('
+        'jnp.zeros((1, 2048, 1024, 128), jnp.bfloat16),'
+        'jnp.zeros((3, 3, 64, 64), jnp.float32),'
+        'jnp.zeros((64,), jnp.float32),'
+        'jnp.zeros((128,), jnp.float32),'
+        'jnp.zeros((128,), jnp.float32)).compile()\n'),
     # 9-dot fallback (insurance if the 6-dot form's 64-lane edge slices
     # upset Mosaic)
     'ws2dconv_d9': PRELUDE + (

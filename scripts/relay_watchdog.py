@@ -630,6 +630,14 @@ AGENDA = [
                        f'FEMASR_WS2D_TH=8 timeout 400 {PY} '
                        'scripts/perf_probe.py 512 1 --ws2d'], 860, None,
      False),
+    # same-window A/B of the fused-GN-prologue ws2d program (the
+    # r5_ab_samewin run measured the UNFUSED kernel: 158.8 vs 167.1 —
+    # the fused program saves ~4.3 GB logical + one HBM pass per conv)
+    ('r5_ab_samewin_fused', ['bash', '-lc',
+                             f'timeout 400 {PY} scripts/perf_probe.py '
+                             '512 1 && FEMASR_WS2D_TH=8 timeout 400 '
+                             f'{PY} scripts/perf_probe.py 512 1 --ws2d'],
+     860, None, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group
     # prefixes / first up block. Each compiles a fresh big program —

@@ -88,7 +88,8 @@ def _epilogue(y, bias2, act: Optional[str]):
 def _ws2d_kernel(x_hbm, w_ref, b_ref, ps_ref, pb_ref, o_ref, x_vmem,
                  sem, *, th: int, w_out: int, w_in: int, c2: int,
                  act: Optional[str], out_dtype, dots: int,
-                 pre_act: Optional[str], h_valid: int, wh_valid: int):
+                 pre_act: Optional[str], h_valid: int, wh_valid: int,
+                 db: bool):
     """One (th, w_out) output row-strip; batch 1.
 
     x_hbm holds the zero-padded (H + 2, Wp, 2C) ws2d input (1-row halo
@@ -103,11 +104,36 @@ def _ws2d_kernel(x_hbm, w_ref, b_ref, ps_ref, pb_ref, o_ref, x_vmem,
     dots=9 / FEMASR_WS2D_DOTS=9 for A/Bs).
     """
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * th, th + 2)], x_vmem, sem)
-    cp.start()
-    cp.wait()
-    x = x_vmem[:]
+    n = pl.num_programs(0)
+    if db:
+        # double-buffered window DMA: scratch persists across grid
+        # steps, so step i waits on the copy step i-1 started (slot
+        # i % 2) and prefetches strip i+1 into the other slot — the
+        # serialized DMA-then-compute of the single-buffer form costs
+        # ~6 us x 256 steps x 5 kernels on the 512px tail.
+        slot = jax.lax.rem(i, 2)
+
+        def strip_dma(s, j):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(j * th, th + 2)], x_vmem.at[s],
+                sem.at[s])
+
+        @pl.when(i == 0)
+        def _():
+            strip_dma(0, 0).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            strip_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        strip_dma(slot, i).wait()
+        x = x_vmem[slot]
+    else:
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * th, th + 2)], x_vmem, sem)
+        cp.start()
+        cp.wait()
+        x = x_vmem[:]
 
     if ps_ref is not None:
         # fused GroupNorm-affine (+ activation) PROLOGUE: the stats pass
@@ -286,9 +312,10 @@ def _ws2d_single(x1, blocks, bias2, ps=None, pb=None, *, act, pre_act,
                      memory_space=pltpu.VMEM),
     ]
     args = [x_p, blocks]
+    db = os.environ.get('FEMASR_WS2D_DB', '1') != '0'
     kw = dict(th=th, w_out=wo, w_in=wip, c2=c2p, act=act,
               out_dtype=x1.dtype, dots=dots, pre_act=pre_act,
-              h_valid=h, wh_valid=wh)
+              h_valid=h, wh_valid=wh, db=db)
     has_bias = bias2 is not None
     if has_bias:
         in_specs.append(pl.BlockSpec((1, f2p), lambda i: (0, 0),
@@ -323,8 +350,10 @@ def _ws2d_single(x1, blocks, bias2, ps=None, pb=None, *, act, pre_act,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wo, f2p), x1.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, wip, c2p), x1.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM(((2, th + 2, wip, c2p) if db
+                        else (th + 2, wip, c2p)), x1.dtype),
+            (pltpu.SemaphoreType.DMA((2,)) if db
+             else pltpu.SemaphoreType.DMA),
         ],
         interpret=interpret,
     )(*args)

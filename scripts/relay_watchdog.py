@@ -638,6 +638,17 @@ AGENDA = [
                              '512 1 && FEMASR_WS2D_TH=8 timeout 400 '
                              f'{PY} scripts/perf_probe.py 512 1 --ws2d'],
      860, None, False),
+    # + double-buffered window DMA (fused A/B measured 158.9 vs 162.3;
+    # the serialized per-strip DMA is the last identified overhead).
+    # Exec parity first (the db path changed the DMA structure).
+    ('r5_ws2d_exec_db', [PY, 'scripts/pallas_exec_probe.py', '--kernels',
+                         'ws2dconv', '--timeout', '240'], 400, None,
+     False),
+    ('r5_ab_samewin_db', ['bash', '-lc',
+                          f'timeout 400 {PY} scripts/perf_probe.py '
+                          '512 1 && FEMASR_WS2D_TH=8 timeout 400 '
+                          f'{PY} scripts/perf_probe.py 512 1 --ws2d'],
+     860, None, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group
     # prefixes / first up block. Each compiles a fresh big program —

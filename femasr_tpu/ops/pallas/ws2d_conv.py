@@ -280,8 +280,10 @@ def _ws2d_single(x1, blocks, bias2, ps=None, pb=None, *, act, pre_act,
     if dots == 6 and c_pad != 0:
         dots = 9
 
+    db_env = os.environ.get('FEMASR_WS2D_DB', '1') != '0'
+
     def _vmem_est(t):
-        return ((t + 2) * wip * c2p * 2       # bf16 window
+        return ((2 if db_env else 1) * (t + 2) * wip * c2p * 2  # window
                 + t * wo * f2p * 4            # f32 acc
                 + 2 * t * wo * f2p * 2        # double-buffered bf16 out
                 + 9 * c2p * f2p * 2)          # bf16 tap blocks
@@ -312,7 +314,7 @@ def _ws2d_single(x1, blocks, bias2, ps=None, pb=None, *, act, pre_act,
                      memory_space=pltpu.VMEM),
     ]
     args = [x_p, blocks]
-    db = os.environ.get('FEMASR_WS2D_DB', '1') != '0'
+    db = db_env
     kw = dict(th=th, w_out=wo, w_in=wip, c2=c2p, act=act,
               out_dtype=x1.dtype, dots=dots, pre_act=pre_act,
               h_valid=h, wh_valid=wh, db=db)

@@ -644,10 +644,13 @@ AGENDA = [
     ('r5_ws2d_exec_db', [PY, 'scripts/pallas_exec_probe.py', '--kernels',
                          'ws2dconv', '--timeout', '240'], 400, None,
      False),
-    ('r5_ab_samewin_db', ['bash', '-lc',
-                          f'timeout 400 {PY} scripts/perf_probe.py '
-                          '512 1 && FEMASR_WS2D_TH=8 timeout 400 '
-                          f'{PY} scripts/perf_probe.py 512 1 --ws2d'],
+    # NOTE: th=8 + double-buffer OOMs scoped VMEM (18.41M vs 16M, first
+    # r5_ab_samewin_db attempt) — the budget is db-aware now; let th
+    # auto-select (4).
+    ('r5_ab_samewin_db2', ['bash', '-lc',
+                           f'timeout 400 {PY} scripts/perf_probe.py '
+                           '512 1 && timeout 400 '
+                           f'{PY} scripts/perf_probe.py 512 1 --ws2d'],
      860, None, False),
     # intra-encoder attribution (r5p2 left ~14 ms of the encoder's 91.4 ms
     # unattributed above its 77.6 ms roofline): in_conv+down / swin group

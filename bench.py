@@ -309,12 +309,6 @@ def _child(tile):
         # Backend: FEMASR_INT8_BACKEND=pallas for the fused kernel, unset
         # for the pure-XLA chain (no custom-call fusion barriers).
         BENCH_FLAGS = dict(int8_mlp=True)
-    if os.environ.get('FEMASR_BENCH_WS2D') == '1':
-        # exact-math A/B lane: Pallas ws2d decoder tail — the C=64 HR
-        # tensors live as (H, W/2, 128) full-lane tiles and the convs run
-        # in ops/pallas/ws2d_conv.py (round-5; targets the 14.56 GB
-        # physical padding waste of decoder_group_2)
-        BENCH_FLAGS = dict(BENCH_FLAGS, ws2d_tail=True)
     if os.environ.get('FEMASR_BENCH_S2D') == '1':
         # exact-math A/B lane: evaluate the C=64 decoder tail + out_conv
         # in the 2x2 space-to-depth domain (full (8,128) lane tiles —
@@ -322,8 +316,16 @@ def _child(tile):
         # r5p2 prefix table attributes +36 ms wall to that level against
         # a +24.8 ms roofline). Flip the model default if r5_s2d_wall wins.
         BENCH_FLAGS = dict(BENCH_FLAGS, s2d_tail=True)
+    # ws2d_tail (Pallas width-s2d decoder tail) is the serving DEFAULT
+    # since round 5: same-window A/B 153.8 vs 159.3 ms on the 512px
+    # program (ladder: unfused 167.1 -> +fused-GN 162.3 -> +double-
+    # buffered DMA 153.8; NOTES_ROUND5.md). Exact math, checkpoint-
+    # interchangeable; FEMASR_BENCH_WS2D=0 restores the XLA tail.
+    ws2d_default = (os.environ.get('FEMASR_BENCH_WS2D', '1') == '1'
+                    and 's2d_tail' not in BENCH_FLAGS)
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
+                      ws2d_tail=ws2d_default,
                       dtype=jnp.bfloat16, **BENCH_FLAGS)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
@@ -344,7 +346,8 @@ def _child(tile):
             'metric': 'x4_sr_megapixels_per_sec_per_chip_512px_tiles',
             'value': round(best_mps, 3),
             'unit': (f'MP/s (input pixels), '
-                     f'{"w8a8-int8+bf16 (quality-gated)" if any(k.startswith("int8") for k in BENCH_FLAGS) else "bf16"}, '
+                     f'{"w8a8-int8+bf16 (quality-gated)" if any(k.startswith("int8") for k in BENCH_FLAGS) else "bf16"}'
+                     f'{" + Pallas ws2d tail" if ws2d_default else ""}, '
                      f'{best_desc}, vs '
                      'bottom-up 1.5 MP/s H100-PyTorch-eager baseline '
                      '(estimate, +-35% — derivation in BASELINE.md)'

@@ -45,15 +45,27 @@ class SRInferencer:
                  max_tile_batch: int = 1, lq_stage: bool = True,
                  model: Optional[FeMaSRNet] = None, init_merge: bool = True,
                  mesh=None, tensor_parallel: bool = False,
-                 s2d_tail: bool = False,
+                 s2d_tail: bool = False, ws2d_tail: Optional[bool] = None,
                  int8_tail: bool = False, int8_levels: int = 1,
                  int8_enc_up: bool = False, int8_swin: bool = False):
+        if ws2d_tail is None:
+            # serving DEFAULT since round 5 for the release config (gn +
+            # silu): the Pallas width-s2d decoder tail measured 153.8 vs
+            # 159.3 ms same-window on the 512px program (NOTES_ROUND5.md).
+            # Exact math, checkpoint-interchangeable params.
+            # TPU-only default: on the CPU backend the kernel runs in
+            # interpret mode (orders of magnitude slower) — the XLA tail
+            # is the right CPU path; the dedicated ws2d tests cover the
+            # kernel there.
+            ws2d_tail = (norm_type == 'gn' and act_type == 'silu'
+                         and not (s2d_tail or int8_tail)
+                         and jax.default_backend() != 'cpu')
         self.model = model or FeMaSRNet(
             codebook_params=[list(p) for p in codebook_params],
             LQ_stage=lq_stage, scale_factor=scale_factor,
             gt_resolution=gt_resolution, norm_type=norm_type,
             act_type=act_type, vq_backend=vq_backend, dtype=dtype,
-            s2d_tail=s2d_tail, int8_tail=int8_tail,
+            s2d_tail=s2d_tail, ws2d_tail=ws2d_tail, int8_tail=int8_tail,
             int8_levels=int8_levels, int8_enc_up=int8_enc_up,
             int8_swin=int8_swin)
         if init_merge:

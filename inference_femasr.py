@@ -59,6 +59,12 @@ def main():
     parser.add_argument('--tp', type=int, default=1,
                         help='tensor-parallel axis size (with --dp; splits '
                              'swin qkv/FFN + codebook over the mesh)')
+    parser.add_argument('--ws2d_tail', action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help='Pallas width-s2d decoder tail (round-5 '
+                             'serving default for the gn+silu release '
+                             'config; --no-ws2d_tail restores the XLA '
+                             'tail). Exact math, checkpoint-compatible.')
     parser.add_argument('--int8_tail', action='store_true',
                         help='run the last decoder level + out_conv in w8a8 '
                              'int8 (2x MXU peak on v5e; checkpoint-free '
@@ -103,6 +109,7 @@ def main():
     sr = load_inferencer(weight_path, scale_factor=args.out_scale,
                          dtype=dtype, max_tile_batch=args.tile_batch,
                          mesh=mesh, tensor_parallel=args.tp > 1,
+                         ws2d_tail=args.ws2d_tail,
                          int8_tail=args.int8_tail,
                          int8_levels=args.int8_levels,
                          int8_enc_up=args.int8_enc_up,

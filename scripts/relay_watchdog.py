@@ -664,6 +664,16 @@ AGENDA = [
     ('r5_vq_minmask_pallas_probe', [PY, 'scripts/pallas_compile_probe.py',
                                     '--kernels', 'vq', '--timeout', '120'],
      400, None, False),
+    # one-shot warms of the FALLBACK rungs for the new ws2d default
+    # program (the warm-cache descending ladder stops at the 512
+    # success, so these never compile through bench_warm cycles; a
+    # driver capture in a degraded window needs them cached)
+    ('bench_warm256_ws2d', [PY, 'bench.py'], 700,
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '256'},
+     False),
+    ('bench_warm128_ws2d', [PY, 'bench.py'], 700,
+     {'FEMASR_BENCH_SKIP_PROBE': '1', 'FEMASR_BENCH_TILES': '128'},
+     False),
     ('bench_warm', [PY, 'bench.py'], 600,
      {'FEMASR_BENCH_SKIP_PROBE': '1'}, True),
 ]

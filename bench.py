@@ -419,8 +419,9 @@ def _child(tile):
         except Exception as e:
             if batch == 1:
                 raise  # first batch must work -> parent falls down ladder
-            print(f'# batch {batch} failed: {type(e).__name__} (expected '
-                  'OOM at this size)', flush=True)
+            msg = str(e).splitlines()[0][:160] if str(e) else ''
+            print(f'# batch {batch} failed: {type(e).__name__}: {msg}',
+                  flush=True)
             break
         mps = batch * tile * tile / 1e6 / dt
         print(f'# tile={tile} batch={batch}: {dt * 1e3:.1f} ms/iter '

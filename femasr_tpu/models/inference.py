@@ -57,14 +57,15 @@ class SRInferencer:
             # interpret mode (orders of magnitude slower) — the XLA tail
             # is the right CPU path; the dedicated ws2d tests cover the
             # kernel there.
-            # ...and single-tile-batch, unsharded serving only: the
-            # vmapped/SPMD-partitioned kernel failed a relay-side batch-2
-            # compile (bench_warm128 2026-08-20) — pass ws2d_tail=True
-            # explicitly to force it for batched/sharded setups.
+            # ...and unsharded serving only: SPMD partitioning of the
+            # Pallas call over a mesh is untested — pass ws2d_tail=True
+            # explicitly to force it there. (Tile batching is fine: the
+            # batch dim unrolls to per-sample kernel calls,
+            # ops/pallas/ws2d_conv.py.)
             ws2d_tail = (norm_type == 'gn' and act_type == 'silu'
                          and not (s2d_tail or int8_tail)
                          and jax.default_backend() != 'cpu'
-                         and max_tile_batch == 1 and mesh is None)
+                         and mesh is None)
         self.model = model or FeMaSRNet(
             codebook_params=[list(p) for p in codebook_params],
             LQ_stage=lq_stage, scale_factor=scale_factor,

@@ -239,13 +239,17 @@ def conv3_ws2d(x: jax.Array, kernel: jax.Array,
         pre_scale = jnp.broadcast_to(pre_scale, (b, c2))
         pre_bias = jnp.broadcast_to(pre_bias, (b, c2))
     if b != 1:
-        if pre_scale is None:
-            return jax.vmap(lambda xi: _ws2d_single(
-                xi, blocks, b2, act=act, pre_act=None, th=th,
-                interpret=interpret))(x)
-        return jax.vmap(lambda xi, ps, pb: _ws2d_single(
-            xi, blocks, b2, ps, pb, act=act, pre_act=pre_act, th=th,
-            interpret=interpret))(x, pre_scale, pre_bias)
+        # static unroll, NOT vmap: Pallas TPU cannot batch the ANY-
+        # memory-space x_hbm operand ("only blocks having the same
+        # block shape as the array shape" — captured 2026-08-20 on the
+        # 128px batch-2 bench rung); serving batches are small
+        outs = [_ws2d_single(
+            x[i], blocks, b2,
+            None if pre_scale is None else pre_scale[i],
+            None if pre_bias is None else pre_bias[i],
+            act=act, pre_act=pre_act if pre_scale is not None else None,
+            th=th, interpret=interpret) for i in range(b)]
+        return jnp.stack(outs, 0)
     return _ws2d_single(
         x[0], blocks, b2,
         None if pre_scale is None else pre_scale[0],

@@ -321,13 +321,13 @@ def _child(tile):
     # program (ladder: unfused 167.1 -> +fused-GN 162.3 -> +double-
     # buffered DMA 153.8; NOTES_ROUND5.md). Exact math, checkpoint-
     # interchangeable; FEMASR_BENCH_WS2D=0 restores the XLA tail.
-    # 128px keeps the XLA tail: its winning batch-2 variant fails to
-    # compile with the vmapped ws2d kernel on the relay (bench_warm128
-    # 2026-08-20 15:0x: b1 0.565 vs the XLA tail's cached b2 0.929 —
-    # the deep-fallback rung should report the better, already-cached
-    # number)
+    # ws2d on the 512px headline tile only: at the fallback tiles the
+    # kernel's fixed overheads beat its byte win (measured 2026-08-20:
+    # 256px 1.547 vs the XLA tail's cached 1.689; 128px 0.565-b1 vs
+    # cached 0.929-b2) — the fallback rungs report their better,
+    # already-cached XLA numbers
     ws2d_default = (os.environ.get('FEMASR_BENCH_WS2D', '1') == '1'
-                    and 's2d_tail' not in BENCH_FLAGS and tile != 128)
+                    and 's2d_tail' not in BENCH_FLAGS and tile == 512)
     model = FeMaSRNet(codebook_params=[[32, 1024, 512]], LQ_stage=True,
                       scale_factor=4, norm_type='gn', act_type='silu',
                       ws2d_tail=ws2d_default,

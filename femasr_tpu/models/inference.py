@@ -48,6 +48,7 @@ class SRInferencer:
                  s2d_tail: bool = False, ws2d_tail: Optional[bool] = None,
                  int8_tail: bool = False, int8_levels: int = 1,
                  int8_enc_up: bool = False, int8_swin: bool = False):
+        ws2d_auto = ws2d_tail is None
         if ws2d_tail is None:
             # serving DEFAULT since round 5 for the release config (gn +
             # silu): the Pallas width-s2d decoder tail measured 153.8 vs
@@ -66,14 +67,23 @@ class SRInferencer:
                          and not (s2d_tail or int8_tail)
                          and jax.default_backend() != 'cpu'
                          and mesh is None)
-        self.model = model or FeMaSRNet(
-            codebook_params=[list(p) for p in codebook_params],
-            LQ_stage=lq_stage, scale_factor=scale_factor,
-            gt_resolution=gt_resolution, norm_type=norm_type,
-            act_type=act_type, vq_backend=vq_backend, dtype=dtype,
-            s2d_tail=s2d_tail, ws2d_tail=ws2d_tail, int8_tail=int8_tail,
-            int8_levels=int8_levels, int8_enc_up=int8_enc_up,
-            int8_swin=int8_swin)
+        def _mk(ws2d):
+            return FeMaSRNet(
+                codebook_params=[list(p) for p in codebook_params],
+                LQ_stage=lq_stage, scale_factor=scale_factor,
+                gt_resolution=gt_resolution, norm_type=norm_type,
+                act_type=act_type, vq_backend=vq_backend, dtype=dtype,
+                s2d_tail=s2d_tail, ws2d_tail=ws2d, int8_tail=int8_tail,
+                int8_levels=int8_levels, int8_enc_up=int8_enc_up,
+                int8_swin=int8_swin)
+        self.model = model or _mk(ws2d_tail)
+        # per-shape escape hatch: the ws2d kernel wins at large tiles
+        # (512px LR: 153.8 vs 159.3 ms) but its fixed overheads lose at
+        # small ones (256px LR: 1.547 vs 1.689 MP/s) — _forward picks
+        # the XLA-tail twin (same params) for tiles below the measured
+        # crossover. Explicit ws2d_tail=True (not auto) pins the kernel.
+        self._model_small = (_mk(False) if model is None and ws2d_tail
+                             and ws2d_auto else None)
         if init_merge:
             # complete possibly-partial param trees against a fresh init
             # (non-strict load parity with base_model.py:258-291)
@@ -105,8 +115,14 @@ class SRInferencer:
 
         @jax.jit
         def _forward(params, x):
-            out, _, _, _ = self.model.apply({'params': params},
-                                            x.astype(dtype))
+            mdl = self.model
+            if (self._model_small is not None
+                    and min(x.shape[1:3]) < 384):
+                # static per-shape choice (jit retraces per shape):
+                # below the measured ws2d crossover use the XLA tail
+                mdl = self._model_small
+            out, _, _, _ = mdl.apply({'params': params},
+                                     x.astype(dtype))
             return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
 
         self._forward = _forward
